@@ -1,0 +1,173 @@
+"""D3PM math invariants (SURVEY §4): stochastic-matrix rows, cumulative
+products, t=0 degeneracy of the posterior, forward-corruption behavior of the
+absorbing chain, and sampler determinism under injected noise."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_with_diffusion_model_tpu.diffusion import D3PM, cosine_beta_schedule
+from tts_with_diffusion_model_tpu.diffusion.d3pm import (
+    absorbing_transition_mat,
+    uniform_transition_mat,
+)
+
+V = 17  # small odd vocab; absorbing state = 8
+T = 10
+
+
+def make():
+    return D3PM.create(timesteps=T, num_classes=V, schedule="cosine",
+                       transition="absorbing")
+
+
+def test_cosine_schedule_shape_and_range():
+    betas = cosine_beta_schedule(T + 1)
+    assert betas.shape == (T + 1,)
+    assert (betas >= 0).all() and (betas <= 0.999).all()
+    # monotone increasing for the cosine schedule
+    assert betas[-1] > betas[0]
+
+
+def test_transition_matrices_are_stochastic():
+    for mat in (absorbing_transition_mat(0.3, V), uniform_transition_mat(0.3, V)):
+        np.testing.assert_allclose(mat.sum(axis=1), 1.0, atol=1e-12)
+        assert (mat >= 0).all()
+
+
+def test_cumulative_mats_are_stochastic():
+    d = make()
+    rows = np.asarray(d.q_mats).sum(axis=2)
+    np.testing.assert_allclose(rows, 1.0, atol=1e-5)
+
+
+def test_q_mats_match_explicit_product():
+    d = make()
+    q1 = np.asarray(d.q_onestep_mats, dtype=np.float64)
+    expect = q1[0] @ q1[1] @ q1[2]
+    np.testing.assert_allclose(np.asarray(d.q_mats[2]), expect, atol=1e-5)
+
+
+def test_absorbing_mass_grows_with_t():
+    d = make()
+    x0 = jnp.array([[3, 5, 7]])
+    p_early = d.q_probs(x0, jnp.array([0]))
+    p_late = d.q_probs(x0, jnp.array([T - 1]))
+    absorb = V // 2
+    assert float(p_late[0, 0, absorb]) > float(p_early[0, 0, absorb])
+    # diagonal mass shrinks
+    assert float(p_late[0, 0, 3]) < float(p_early[0, 0, 3])
+
+
+def test_q_posterior_t0_degeneracy_hard_x0():
+    """At t=0 the posterior must equal log(one_hot(x0)+eps)
+    (≡ ``ar_discrete.py:369-375``)."""
+    d = make()
+    x0 = jnp.array([[4, 9]])
+    xt = jnp.array([[8, 8]])
+    t = jnp.array([0])
+    out = d.q_posterior_logits(x0, xt, t, x_start_logits=False)
+    expect = jnp.log(jax.nn.one_hot(x0, V) + d.eps)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-6)
+
+
+def test_q_posterior_t0_degeneracy_logits_x0():
+    d = make()
+    logits = jax.random.normal(jax.random.PRNGKey(0), (1, 2, V))
+    xt = jnp.array([[8, 8]])
+    out = d.q_posterior_logits(logits, xt, jnp.array([0]), x_start_logits=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(logits), atol=1e-6)
+
+
+def test_q_posterior_matches_numpy_oracle():
+    """Independent numpy recomputation of log q(x_{t-1}|x_t, x0)."""
+    d = make()
+    t = jnp.array([4])
+    x0 = jnp.array([[3, 5]])
+    xt = jnp.array([[8, 3]])
+    got = np.asarray(d.q_posterior_logits(x0, xt, t, x_start_logits=False))
+
+    q1 = np.asarray(d.q_onestep_mats, dtype=np.float64)
+    qm = np.asarray(d.q_mats, dtype=np.float64)
+    for w in range(2):
+        fact1 = q1[4].T[int(xt[0, w])]  # row of Q_t^T at x_t
+        fact2 = qm[3][int(x0[0, w])]    # row of cumulative mat at t-1
+        expect = np.log(fact1 + d.eps) + np.log(fact2 + d.eps)
+        np.testing.assert_allclose(got[0, w], expect, atol=1e-4)
+
+
+def test_q_sample_deterministic_under_injected_noise():
+    d = make()
+    x0 = jnp.array([[3, 5, 7, 9]])
+    t = jnp.array([5])
+    noise = jnp.full((1, 4, V), 0.5)
+    a = d.q_sample(x0, t, uniform_noise=noise)
+    b = d.q_sample(x0, t, uniform_noise=noise)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_q_sample_t_large_mostly_absorbing():
+    d = make()
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.full((1, 256), 3, jnp.int32)
+    xt = d.q_sample(x0, jnp.array([T - 1]), rng=rng)
+    frac_absorbed = float((xt == V // 2).mean())
+    assert frac_absorbed > 0.5
+
+
+def test_p_sample_t0_is_argmax_of_model_logits():
+    d = make()
+    logits = jax.random.normal(jax.random.PRNGKey(1), (1, 3, V))
+    xt = jnp.array([[8, 8, 8]])
+    out = d.p_sample(logits, jnp.array([0]), xt,
+                     uniform_noise=jnp.full((1, 3, V), 0.5))
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(jnp.argmax(logits, axis=-1))
+    )
+
+
+def test_diffusion_model_loss_and_generate():
+    from tts_with_diffusion_model_tpu.models.diffusion import (
+        DiffusionConfig,
+        DiffusionModel,
+    )
+
+    cfg = DiffusionConfig(
+        n_classes=V, d_model=16, n_heads=2, n_layers=1, timesteps=6,
+        resp_len=12, text_len=5, prom_len=7, gen_len=9,
+    )
+    m = DiffusionModel(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = m.init(rng)
+
+    B = 2
+    batch = dict(
+        text=jax.random.randint(rng, (B, 5), 1, V),
+        text_mask=jnp.ones((B, 5)),
+        proms=jax.random.randint(rng, (B, 7, 8), 0, V),
+        prom_mask=jnp.ones((B, 7)),
+        resp=jax.random.randint(rng, (B, 12), 0, V - 1),
+        resp_mask=jnp.ones((B, 12)).at[1, 9:].set(0),
+    )
+    loss, stats = m.loss(params, batch, rng)
+    assert jnp.isfinite(loss)
+
+    loss_all, _ = m.loss(params, batch, rng, max_t=4)
+    assert jnp.isfinite(loss_all)
+
+    m_all = DiffusionModel(
+        DiffusionConfig(**{**cfg.__dict__, "train_mode": "all_t"}),
+        dtype=jnp.float32,
+    )
+    loss_ref, _ = m_all.loss(params, batch, rng)
+    assert jnp.isfinite(loss_ref)
+
+    out = m.generate(
+        params, batch["text"], batch["text_mask"], batch["proms"],
+        batch["prom_mask"], rng,
+    )
+    assert out.shape == (B, 12)
+    # positions beyond gen_len stay 0
+    assert int(out[:, 9:].sum()) == 0
+    # generated tokens are valid classes
+    assert int(out.min()) >= 0 and int(out.max()) < V

@@ -1,0 +1,46 @@
+"""Model registry (≡ ``vall_e/vall_e/__init__.py:7-59``).
+
+``get_model(name)`` dispatches on the name prefix — ``ar*`` / ``nar*`` /
+``diffusion*`` — with the reference's size suffixes: ``-quarter``
+(256/4/12), ``-half`` (512/8/12), default (1024/16/12).  The diffusion
+branch uses the hyperparameters ``get_model("diffusion")`` hard-codes in the
+reference (d_model 512, 100 steps, 8 heads; the reference then overrides
+d_model to 32 inside the class — here 512 is honored, see ``models/dit.py``).
+"""
+
+from __future__ import annotations
+
+from .ar import AR, ar_generate  # noqa: F401
+from .nar import NAR, nar_generate  # noqa: F401
+from .diffusion import DiffusionConfig, DiffusionModel  # noqa: F401
+from .dit import DiTDenoiser  # noqa: F401
+
+
+def get_model(name: str, num_tokens: int = 1024):
+    name = name.lower()
+
+    if name.startswith("diffusion"):
+        return DiffusionModel(
+            DiffusionConfig(
+                n_classes=num_tokens + 1,
+                d_model=512,
+                n_heads=8,
+                n_layers=8,
+                timesteps=100,
+            )
+        )
+
+    if name.startswith("ar"):
+        Model = AR
+    elif name.startswith("nar"):
+        Model = NAR
+    else:
+        raise ValueError("Model name should start with AR or NAR.")
+
+    if "-quarter" in name:
+        return Model(num_tokens, d_model=256, n_heads=4, n_layers=12)
+    if "-half" in name:
+        return Model(num_tokens, d_model=512, n_heads=8, n_layers=12)
+    if name not in ["ar", "nar", "diffusion"]:
+        raise NotImplementedError(name)
+    return Model(num_tokens, d_model=1024, n_heads=16, n_layers=12)

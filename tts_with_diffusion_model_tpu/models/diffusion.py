@@ -1,0 +1,193 @@
+"""The D3PM diffusion TTS model: denoiser + training loss + scan sampler.
+
+Rebuild of ``vall_e/vall_e/ar_discrete.py:588-780`` (the thesis's headline
+model).  The model predicts x_0 logits for level-0 codec tokens under an
+absorbing-state discrete diffusion; the NAR fills levels 1-7 afterwards.
+
+Key mappings:
+  - training forward (``:588-694``): the reference loops over *all* 99
+    timesteps per batch, summing masked CE of the x_0 prediction.  Upstream
+    D3PM trains with one sampled t per example; we default to sampled-t
+    (``train_mode="sampled"``) and keep ``"all_t"`` as a reference-parity
+    mode — both available via ``max_train_diffusion_steps``-style config.
+  - sampler ``generate_audio`` (``:696-780``): init all-absorbing (512)
+    length-350 sequence padded to 448, reverse loop t=99→1.  Here the whole
+    loop is one ``jax.lax.scan`` with conditioning computed once — the
+    BASELINE.json headline requirement.
+  - fixed shapes resp 448 / text 50 / prom 398 (``:592-626``) become config
+    fields (the defaults match the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..diffusion.d3pm import D3PM
+from .dit import DiTDenoiser
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionConfig:
+    n_classes: int = 1025
+    d_model: int = 512
+    n_heads: int = 8
+    n_layers: int = 8
+    n_prom_levels: int = 8
+    timesteps: int = 100
+    schedule: str = "cosine"
+    transition: str = "absorbing"
+    # static shape buckets (≡ ``ar_discrete.py:592-626``)
+    resp_len: int = 448
+    text_len: int = 50
+    prom_len: int = 398
+    gen_len: int = 350  # generated sequence length (``:699``)
+    train_mode: str = "sampled"  # "sampled" | "all_t"
+
+
+class DiffusionModel:
+    """Functional wrapper pairing a DiTDenoiser with the D3PM process.
+
+    Not an nn.Module: the denoiser holds all parameters; diffusion matrices
+    are static device constants.  Methods are jit-friendly pure functions of
+    (params, batch, rng).
+    """
+
+    def __init__(self, config: DiffusionConfig = DiffusionConfig(), dtype=jnp.bfloat16):
+        self.config = config
+        self.denoiser = DiTDenoiser(
+            n_classes=config.n_classes,
+            d_model=config.d_model,
+            n_heads=config.n_heads,
+            n_layers=config.n_layers,
+            n_prom_levels=config.n_prom_levels,
+            timesteps=config.timesteps,
+            dtype=dtype,
+        )
+        self.d3pm = D3PM.create(
+            timesteps=config.timesteps,
+            num_classes=config.n_classes,
+            schedule=config.schedule,
+            transition=config.transition,
+        )
+
+    def init(self, rng):
+        c = self.config
+        text = jnp.zeros((1, c.text_len), jnp.int32)
+        tm = jnp.ones((1, c.text_len), jnp.float32)
+        proms = jnp.zeros((1, c.prom_len, c.n_prom_levels), jnp.int32)
+        pm = jnp.ones((1, c.prom_len), jnp.float32)
+        x = jnp.zeros((1, c.resp_len), jnp.int32)
+        rm = jnp.ones((1, c.resp_len), jnp.float32)
+        t = jnp.zeros((1,), jnp.int32)
+        return self.denoiser.init(rng, text, tm, proms, pm, x, rm, t)
+
+    # ---------------- training ----------------
+
+    def loss(
+        self,
+        params,
+        batch: dict,
+        rng: jax.Array,
+        max_t: int | None = None,
+    ):
+        """Masked x_0-prediction CE (≡ ``ar_discrete.py:651-693``).
+
+        batch: text (B,Tt), text_mask, proms (B,Tp,8), prom_mask,
+        resp (B,Tr) level-0 ints, resp_mask.  ``max_t`` caps the timestep
+        range (the ``max_train_diffusion_steps`` config knob,
+        ``utils/config.py:26``).
+        """
+        c = self.config
+        T = max_t or c.timesteps
+        text, tm = batch["text"], batch["text_mask"]
+        proms, pm = batch["proms"], batch["prom_mask"]
+        resp, rm = batch["resp"], batch["resp_mask"]
+        B = resp.shape[0]
+
+        text_cond, spkr_cond = self.denoiser.apply(
+            params, text, tm, proms, pm, method=DiTDenoiser.conds
+        )
+
+        def ce_at_t(t, noise_rng):
+            x_t = self.d3pm.q_sample(resp, t, rng=noise_rng)
+            x_t = (x_t * rm).astype(jnp.int32)
+            logits = self.denoiser.apply(
+                params, x_t, rm, t, text_cond, tm, spkr_cond, pm,
+                method=DiTDenoiser.denoise,
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, resp[..., None], axis=-1)[..., 0]
+            return (nll * rm).sum() / jnp.maximum(rm.sum(), 1.0)
+
+        if c.train_mode == "all_t":
+            # Reference-parity: every timestep 1..T-1 per batch
+            # (``ar_discrete.py:651``), averaged (the reference's
+            # ``/mask.sum()`` normalization is a quirk; mean is the intent).
+            rngs = jax.random.split(rng, T - 1)
+
+            def body(carry, inp):
+                t_scalar, r = inp
+                t = jnp.full((B,), t_scalar, jnp.int32)
+                return carry + ce_at_t(t, r), None
+
+            total, _ = jax.lax.scan(
+                body, jnp.float32(0.0), (jnp.arange(1, T), rngs)
+            )
+            loss = total / (T - 1)
+        else:
+            rng_t, rng_n = jax.random.split(rng)
+            t = jax.random.randint(rng_t, (B,), 1, T)
+            loss = ce_at_t(t, rng_n)
+
+        return loss, {"nll": loss}
+
+    # ---------------- sampling ----------------
+
+    def generate(
+        self,
+        params,
+        text,
+        text_mask,
+        proms,
+        prom_mask,
+        rng: jax.Array,
+        gen_len: int | None = None,
+    ):
+        """Reverse D3PM as one ``lax.scan`` (≡ ``generate_audio``, ``:696-780``).
+
+        Returns (B, resp_len) int tokens; positions ≥ gen_len are 0.
+        """
+        c = self.config
+        B = text.shape[0]
+        gl = gen_len if gen_len is not None else c.gen_len
+        # mask: first gen_len slots live, rest padding (≡ ``:699-709``)
+        rm = (jnp.arange(c.resp_len)[None, :] < gl).astype(jnp.float32)
+        rm = jnp.broadcast_to(rm, (B, c.resp_len))
+        x = jnp.full((B, c.resp_len), self.d3pm.absorbing_state, jnp.int32)
+        x = (x * rm).astype(jnp.int32)
+
+        text_cond, spkr_cond = self.denoiser.apply(
+            params, text, text_mask, proms, prom_mask, method=DiTDenoiser.conds
+        )
+
+        ts = jnp.arange(c.timesteps - 1, 0, -1)  # 99 .. 1
+        rngs = jax.random.split(rng, ts.shape[0])
+
+        def step(x_t, inp):
+            t_scalar, r = inp
+            t = jnp.full((B,), t_scalar, jnp.int32)
+            logits = self.denoiser.apply(
+                params, x_t, rm, t, text_cond, text_mask, spkr_cond, prom_mask,
+                method=DiTDenoiser.denoise,
+            )
+            x_prev = self.d3pm.p_sample(logits, t, x_t, rng=r)
+            x_prev = (x_prev * rm).astype(jnp.int32)
+            return x_prev, None
+
+        x, _ = jax.lax.scan(step, x, (ts, rngs))
+        return x

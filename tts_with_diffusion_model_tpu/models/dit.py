@@ -1,0 +1,255 @@
+"""DiT-style denoiser for the D3PM codec-token diffusion model.
+
+TPU-native rebuild of the denoiser inside ``vall_e/vall_e/ar_discrete.py``:
+  - two conditioning towers (2-layer transformer encoder + SiLU MLP) for the
+    speaker prompt (MultiEmbedding over 8 RVQ levels) and the text phonemes
+    (``ar_discrete.py:216-230``),
+  - a learned timestep embedding (``:213``),
+  - N DiT blocks, each = self-attention + cross-attention(text) +
+    cross-attention(speaker) + FiLM timestep modulation + MLP
+    (``:98-161``), and
+  - a linear head to ``n_classes`` logits (``:240``).
+
+Intent-preserving fixes (documented deviations):
+  - the reference's ``DiTBlock`` defines a second cross-attention
+    (``cross_attn2``) but mistakenly reuses ``cross_attn`` for the speaker
+    path (``:142``); here the speaker path gets its own parameters.
+  - the reference hard-codes ``d_model = 32`` inside ``__init__`` (``:208``),
+    overriding the 512 passed by ``get_model("diffusion")``
+    (``vall_e/vall_e/__init__.py:23-31``); here ``d_model`` is honored.
+  - conditioning towers are batched (the reference conditions every sample
+    on batch element 0's prompt, ``:631-638``).
+  - attention masks: pads are excluded as keys (the reference zeroes padded
+    embeddings but lets attention mix them).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import cross_attention, dense_attention
+from .base import EMBED, HEADS, MLP, VOCAB, MultiEmbedding, sinusoidal_embedding
+
+
+class Mlp(nn.Module):
+    """timm-style MLP (in → hidden → out) used throughout the denoiser."""
+
+    hidden: int
+    out: int
+    act: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(
+            self.hidden,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.lecun_normal(), (EMBED, MLP)
+            ),
+            name="fc1",
+        )(x)
+        h = nn.silu(h) if self.act == "silu" else nn.gelu(h)
+        h = nn.Dense(
+            self.out,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.lecun_normal(), (MLP, EMBED)
+            ),
+            name="fc2",
+        )(h)
+        return h
+
+
+class MHA(nn.Module):
+    """Projection + dense attention, mirroring ``nn.MultiheadAttention``."""
+
+    d_model: int
+    n_heads: int
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, q_mask=None, kv_mask=None):
+        d_head = self.d_model // self.n_heads
+
+        def proj(x, name, logical):
+            return nn.Dense(
+                self.d_model,
+                kernel_init=nn.with_logical_partitioning(
+                    nn.initializers.lecun_normal(), logical
+                ),
+                name=name,
+            )(x)
+
+        q = proj(q_in, "q", (EMBED, HEADS))
+        k = proj(kv_in, "k", (EMBED, HEADS))
+        v = proj(kv_in, "v", (EMBED, HEADS))
+
+        def heads(t):
+            return t.reshape(*t.shape[:-1], self.n_heads, d_head)
+
+        o = cross_attention(heads(q), heads(k), heads(v), q_mask, kv_mask)
+        o = o.reshape(*o.shape[:-2], self.d_model)
+        return proj(o, "out", (HEADS, EMBED))
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm transformer encoder layer (torch ``TransformerEncoderLayer``
+    semantics, used by the conditioning towers, ``ar_discrete.py:216-230``)."""
+
+    d_model: int
+    n_heads: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        h = MHA(self.d_model, self.n_heads, name="self_attn")(x, x, mask, mask)
+        x = nn.LayerNorm(name="norm1")(x + h)
+        h = Mlp(self.d_model * 4, self.d_model, act="gelu", name="ffn")(x)
+        x = nn.LayerNorm(name="norm2")(x + h)
+        return x
+
+
+class CondTower(nn.Module):
+    """2-layer encoder + SiLU MLP conditioning tower (``ar_discrete.py:216-230``)."""
+
+    d_model: int
+    n_heads: int
+    mlp_mult: int
+    n_layers: int = 2
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        for i in range(self.n_layers):
+            x = EncoderLayer(self.d_model, self.n_heads, name=f"layer_{i}")(x, mask)
+        x = Mlp(self.d_model * self.mlp_mult, self.d_model, act="silu", name="mlp")(x)
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
+        return x
+
+
+class DiTBlock(nn.Module):
+    """Self-attn + dual cross-attn + FiLM(t) + MLP (≡ ``ar_discrete.py:98-161``)."""
+
+    d_model: int
+    n_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, mask, text_cond, text_mask, spkr_cond, spkr_mask, t_emb):
+        m = mask[..., None].astype(x.dtype)
+        x = x * m
+
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = x + MHA(self.d_model, self.n_heads, name="attn")(h, h, mask, mask)
+
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        ct = MHA(self.d_model, self.n_heads, name="cross_attn")(
+            h, text_cond, mask, text_mask
+        )
+        h2 = nn.LayerNorm(epsilon=1e-6, name="norm22")(x)
+        cs = MHA(self.d_model, self.n_heads, name="cross_attn2")(
+            h2, spkr_cond, mask, spkr_mask
+        )
+        x = x + ct + cs
+
+        # FiLM timestep modulation (``ar_discrete.py:145-156``)
+        ss = nn.Dense(
+            self.d_model * 2,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.zeros, (EMBED, MLP)
+            ),
+            name="timestep_fc",
+        )(t_emb)
+        scale, shift = jnp.split(ss[:, None, :], 2, axis=-1)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm3")(x)
+        h = h * (1 + scale) + shift
+        x = x + Mlp(
+            int(self.d_model * self.mlp_ratio), self.d_model, name="mlp"
+        )(h)
+        return x * m
+
+
+class DiTDenoiser(nn.Module):
+    """The full denoiser: conds + N DiT blocks + logits head.
+
+    Forward signature is x_0-prediction: given noisy level-0 tokens ``x_t``
+    and the timestep, produce logits over the ``n_classes`` token vocabulary
+    (1024 codec codes + absorbing state).
+    """
+
+    n_classes: int = 1025
+    d_model: int = 512
+    n_heads: int = 8
+    n_layers: int = 8
+    n_prom_levels: int = 8
+    timesteps: int = 100
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.text_emb = nn.Embed(
+            self.n_classes,
+            self.d_model,
+            embedding_init=nn.with_logical_partitioning(
+                nn.initializers.normal(1.0), (VOCAB, EMBED)
+            ),
+        )
+        self.proms_emb = MultiEmbedding(
+            self.n_prom_levels, self.n_classes, self.d_model
+        )
+        self.resps_emb = nn.Embed(
+            self.n_classes,
+            self.d_model,
+            embedding_init=nn.with_logical_partitioning(
+                nn.initializers.normal(1.0), (VOCAB, EMBED)
+            ),
+        )
+        self.time_emb = nn.Embed(self.timesteps + 1, self.d_model)
+        self.text_tower = CondTower(self.d_model, self.n_heads, mlp_mult=2)
+        self.prom_tower = CondTower(self.d_model, self.n_heads, mlp_mult=3)
+        self.blocks = [
+            DiTBlock(self.d_model, self.n_heads, name=f"dit_{i}")
+            for i in range(self.n_layers)
+        ]
+        self.final = nn.Dense(
+            self.n_classes,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.lecun_normal(), (EMBED, VOCAB)
+            ),
+            dtype=jnp.float32,
+        )
+
+    def conds(self, text, text_mask, proms, prom_mask):
+        """Compute conditioning once per utterance (hoisted out of the
+        timestep loop, unlike the reference's training forward)."""
+        B, Tt = text.shape
+        Tp = proms.shape[1]
+        te = self.text_emb(text) + sinusoidal_embedding(
+            jnp.arange(Tt)[None], self.d_model
+        )
+        pe = self.proms_emb(proms) + sinusoidal_embedding(
+            jnp.arange(Tp)[None], self.d_model
+        )
+        te = te.astype(self.dtype) * text_mask[..., None].astype(self.dtype)
+        pe = pe.astype(self.dtype) * prom_mask[..., None].astype(self.dtype)
+        text_cond = self.text_tower(te, text_mask)
+        spkr_cond = self.prom_tower(pe, prom_mask)
+        return text_cond, spkr_cond
+
+    def denoise(self, x_t, resp_mask, t, text_cond, text_mask, spkr_cond, prom_mask):
+        """One denoiser evaluation.  x_t: (B, Tr) ints; t: (B,).
+        Returns x_0 logits (B, Tr, n_classes) in fp32."""
+        x = self.resps_emb(x_t).astype(self.dtype)
+        x = x * resp_mask[..., None].astype(self.dtype)
+        t_emb = self.time_emb(t).astype(self.dtype)
+        for block in self.blocks:
+            x = block(
+                x, resp_mask, text_cond, text_mask, spkr_cond, prom_mask, t_emb
+            )
+        logits = self.final(x.astype(jnp.float32))
+        return logits * resp_mask[..., None]
+
+    def __call__(self, text, text_mask, proms, prom_mask, x_t, resp_mask, t):
+        text_cond, spkr_cond = self.conds(text, text_mask, proms, prom_mask)
+        return self.denoise(
+            x_t, resp_mask, t, text_cond, text_mask, spkr_cond, prom_mask
+        )

@@ -1,0 +1,112 @@
+"""Multi-host process/leader helpers, TPU-native.
+
+Counterpart of ``vall_e/utils/distributed.py``: the reference uses env-var rank
+bootstrapping (RANK / LOCAL_RANK / WORLD_SIZE) with a fabricated single-process
+world when no launcher is present, plus leader-only decorators.  On TPU the
+process model comes from ``jax.distributed`` / the TPU runtime, so rank
+identity maps onto ``jax.process_index()`` and the single-process fallback is
+simply "jax wasn't initialized for multi-host" — exercised degenerately on
+every local run, same as the reference's ``fix_unset_envs``.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import cache, wraps
+
+
+@cache
+def init_distributed() -> bool:
+    """Initialize jax.distributed when launched under a multi-host launcher.
+
+    Analogue of ``deepspeed.comm.init_distributed`` (``train.py:29-31``): when
+    coordinator env vars are present, join the cluster; otherwise run as a
+    world of one.  Returns True when multi-host initialization happened.
+    """
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        import jax
+
+        jax.distributed.initialize()
+        return True
+    return False
+
+
+def world_size() -> int:
+    try:
+        import jax
+
+        return jax.process_count()
+    except Exception:
+        return 1
+
+
+def global_rank() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
+def local_rank() -> int:
+    # One jax process per host; "local rank" is process-local and hence 0
+    # unless an explicit override is given (e.g. multi-process-per-host runs).
+    return int(os.environ.get("LOCAL_RANK", 0))
+
+
+def is_global_leader() -> bool:
+    return global_rank() == 0
+
+
+def is_local_leader() -> bool:
+    return local_rank() == 0
+
+
+def _leader_only(check, default=None):
+    def decorator(fn):
+        @wraps(fn)
+        def wrapped(*args, **kwargs):
+            if check():
+                return fn(*args, **kwargs)
+            return default
+
+        return wrapped
+
+    return decorator
+
+
+def global_leader_only(fn=None, *, default=None):
+    """Run only on the global leader; other processes get ``default``."""
+    if fn is None:
+        return _leader_only(is_global_leader, default)
+    return _leader_only(is_global_leader, default)(fn)
+
+
+def local_leader_only(fn=None, *, default=None):
+    if fn is None:
+        return _leader_only(is_local_leader, default)
+    return _leader_only(is_local_leader, default)(fn)
+
+
+def barrier():
+    """Host-level sync, analogue of ``torch.distributed.barrier()``."""
+    if world_size() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("tts_tpu_barrier")
+
+
+def broadcast_object(obj, src: int = 0):
+    """Broadcast a small python object from the leader to all processes.
+
+    Analogue of ``broadcast_object_list`` used for the trainer's stdin command
+    fan-out (``utils/trainer.py:95``).
+    """
+    if world_size() <= 1:
+        return obj
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(obj, is_source=global_rank() == src)

@@ -1,0 +1,65 @@
+"""Small shared utilities (tree maps, dict flattening, device transfer).
+
+Counterpart of ``vall_e/utils/utils.py``.  The reference's
+``gather_attribute`` loss-stashing pattern (models set ``self.loss``, trainer
+pops it) does not fit JAX's functional paradigm — here model apply functions
+*return* ``(output, loss_dict)`` and the feeder passes the dict through, which
+is the idiomatic equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+
+
+def flatten_dict(d: dict, sep: str = ".") -> dict:
+    """Flatten nested dicts: {"a": {"b": 1}} -> {"a.b": 1}."""
+    out: dict[str, Any] = {}
+
+    def rec(prefix, obj):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                rec(f"{prefix}{sep}{k}" if prefix else str(k), v)
+        else:
+            out[prefix] = obj
+
+    rec("", d)
+    return out
+
+
+def tree_map(fn: Callable, x):
+    if isinstance(x, list):
+        return [tree_map(fn, xi) for xi in x]
+    if isinstance(x, tuple):
+        return tuple(tree_map(fn, xi) for xi in x)
+    if isinstance(x, dict):
+        return {k: tree_map(fn, v) for k, v in x.items()}
+    return fn(x)
+
+
+def to_device(x, device=None):
+    """Move numpy/jax leaves of a pytree onto a jax device (host→HBM)."""
+    import jax
+
+    if device is None:
+        device = jax.devices()[0]
+
+    def move(leaf):
+        if isinstance(leaf, (np.ndarray, jax.Array)):
+            return jax.device_put(leaf, device)
+        return leaf
+
+    return tree_map(move, x)
+
+
+def to_numpy(x):
+    import jax
+
+    def pull(leaf):
+        if isinstance(leaf, jax.Array):
+            return np.asarray(leaf)
+        return leaf
+
+    return tree_map(pull, x)
