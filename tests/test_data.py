@@ -1,0 +1,106 @@
+"""Data pipeline tests: split determinism (seed 0, 95/5 per speaker,
+``data.py:231-237``), symmap stability, prompt sampling, static-shape
+collation."""
+
+import numpy as np
+import pytest
+
+from tts_with_diffusion_model_tpu.config import make_spkr_getter
+from tts_with_diffusion_model_tpu.data.dataset import (
+    BucketSpec,
+    DataLoader,
+    VALLEDataset,
+    collate,
+    load_train_val_paths,
+)
+
+PHONES = ["AA", "B", "IY", "K", "S", "T", "_"]
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("toy_data")
+    rng = np.random.default_rng(0)
+    for spkr in ["sp01", "sp02"]:
+        d = root / spkr
+        d.mkdir()
+        for i in range(6):
+            t = int(rng.integers(30, 80))
+            codes = rng.integers(0, 1024, size=(8, t)).astype(np.int16)
+            np.save(d / f"utt{i}.qnt.npy", codes)
+            n_ph = int(rng.integers(12, 30))
+            phones = rng.choice(PHONES, size=n_ph)
+            (d / f"utt{i}.phn.txt").write_text(" ".join(phones))
+    return root
+
+
+def get_spkr():
+    return make_spkr_getter("parts:-2")
+
+
+def test_split_determinism_and_ratio(data_dir):
+    t1, v1 = load_train_val_paths([data_dir], get_spkr())
+    t2, v2 = load_train_val_paths([data_dir], get_spkr())
+    assert t1 == t2 and v1 == v2
+    # 6 utts/speaker → round(6*0.95)=6 train, 0 val per speaker is possible;
+    # with 6 → n=round(5.7)=6 → val empty. Use the real rule:
+    assert len(t1) + len(v1) == 12
+
+
+def test_dataset_item_and_symmaps(data_dir):
+    t1, _ = load_train_val_paths([data_dir], get_spkr())
+    ds = VALLEDataset(t1, get_spkr(), min_phones=3, max_phones=100, training=True)
+    # phone symmap indexed from 1 (0 = pad)
+    assert min(ds.phone_symmap.values()) == 1
+    item = ds[0]
+    assert item["proms"].shape[1] == 8
+    assert item["resps"].shape[1] == 8
+    assert item["resp"].ndim == 1
+    assert item["text"].dtype == np.int32
+    # text wrapped with <s>/</s>
+    inv = {v: k for k, v in ds.phone_symmap.items()}
+    assert inv[int(item["text"][0])] == "<s>"
+    assert inv[int(item["text"][-1])] == "</s>"
+
+
+def test_prompt_sampling_same_speaker_not_self(data_dir):
+    t1, _ = load_train_val_paths([data_dir], get_spkr())
+    ds = VALLEDataset(t1, get_spkr(), min_phones=3, max_phones=100, training=True)
+    prom = ds.sample_prompts("sp01", ignore=ds.paths_by_spkr_name["sp01"][0])
+    assert prom.shape[1] == 8 and prom.shape[0] > 0
+
+
+def test_collate_static_shapes(data_dir):
+    t1, _ = load_train_val_paths([data_dir], get_spkr())
+    ds = VALLEDataset(t1, get_spkr(), min_phones=3, max_phones=100, training=True)
+    bucket = BucketSpec(text_len=40, prom_len=120, resp_len=90)
+    batch = collate([ds[0], ds[0]], bucket)
+    assert batch["text"].shape == (2, 40)
+    assert batch["proms"].shape == (2, 120, 8)
+    assert batch["resps"].shape == (2, 90, 8)
+    assert batch["resp"].shape == (2, 90)
+    # masks mark exactly the filled region
+    n = int(batch["text_mask"][0].sum())
+    assert (batch["text"][0, :n] > 0).all()
+    assert (batch["text"][0, n:] == 0).all()
+
+
+def test_dataloader_eval_iterates_once(data_dir):
+    t1, _ = load_train_val_paths([data_dir], get_spkr())
+    ds = VALLEDataset(t1, get_spkr(), min_phones=3, max_phones=100, training=False)
+    bucket = BucketSpec(40, 120, 90)
+    dl = DataLoader(ds, batch_size=5, bucket=bucket, training=False)
+    batches = list(dl)
+    assert sum(len(b["path"]) for b in batches) == len(ds)
+
+
+def test_spkr_getter_specs():
+    from pathlib import Path
+
+    p = Path("data/LibriTTS/123/456/utt.qnt.npy")
+    assert make_spkr_getter("parts:-3")(p) == "123"
+    assert make_spkr_getter("lambda p: p.parts[-3]")(p) == "123"
+    assert make_spkr_getter("dirname")(p) == "456"
+    assert make_spkr_getter("stem-prefix:_")(Path("d/p225_001.qnt.npy")) == "p225"
+    with pytest.raises(ValueError):
+        make_spkr_getter("lambda p: __import__('os')")

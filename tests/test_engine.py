@@ -1,0 +1,130 @@
+"""Engine/trainer tests: optimizer schedule parity, train-step mechanics,
+checkpoint round-trip, one-sample overfit (the port of the reference's
+``nar.py example_usage`` convergence check, SURVEY §4), and a multi-device
+dp×tp mesh step on the 8-device CPU harness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_with_diffusion_model_tpu.models import AR
+from tts_with_diffusion_model_tpu.parallel.mesh import build_mesh
+from tts_with_diffusion_model_tpu.train.engine import (
+    Engine,
+    warmup_decay_schedule,
+)
+
+OPT_CFG = {
+    "scheduler": {
+        "warmup_min_lr": 1e-9,
+        "warmup_max_lr": 1e-3,
+        "warmup_num_steps": 10,
+        "total_num_steps": 100,
+    },
+    "gradient_clipping": 1.0,
+    "gradient_accumulation_steps": 1,
+}
+
+
+def test_warmup_decay_schedule():
+    s = warmup_decay_schedule(1e-9, 1e-3, 10, 100)
+    assert float(s(0)) == pytest.approx(1e-9, rel=0.05)
+    assert float(s(10)) == pytest.approx(1e-3, rel=1e-5)
+    assert float(s(55)) == pytest.approx(5e-4, rel=1e-4)
+    assert float(s(100)) == pytest.approx(0.0, abs=1e-12)
+
+
+def make_tiny(mesh=None, n_layers=2):
+    V = 32
+    m = AR(n_tokens=V, d_model=32, n_heads=4, n_layers=n_layers, remat=False,
+           dtype=jnp.float32, p_dropout=0.0)
+    rng = jax.random.PRNGKey(0)
+    B, Tt, Tp, Tr = 4, 6, 8, 10
+    batch = dict(
+        text=np.random.default_rng(0).integers(1, V, (B, Tt)).astype(np.int32),
+        text_mask=np.ones((B, Tt), np.float32),
+        proms=np.random.default_rng(1).integers(0, V, (B, Tp, 8)).astype(np.int32),
+        prom_mask=np.ones((B, Tp), np.float32),
+        resp=np.random.default_rng(2).integers(0, V, (B, Tr)).astype(np.int32),
+        resp_mask=np.ones((B, Tr), np.float32),
+    )
+    params = m.init(
+        rng,
+        jnp.asarray(batch["text"]),
+        jnp.asarray(batch["text_mask"]),
+        jnp.asarray(batch["proms"]),
+        jnp.asarray(batch["prom_mask"]),
+        jnp.asarray(batch["resp"]),
+        jnp.asarray(batch["resp_mask"]),
+    )
+
+    def loss_fn(params, b, rng):
+        _, losses = m.apply(
+            params, b["text"], b["text_mask"], b["proms"], b["prom_mask"],
+            b["resp"], b["resp_mask"],
+        )
+        return sum(losses.values()), losses
+
+    return m, params, loss_fn, batch
+
+
+def test_engine_step_and_stats(tmp_path):
+    _, params, loss_fn, batch = make_tiny()
+    eng = Engine("model", params, loss_fn, OPT_CFG, tmp_path, mesh=build_mesh(1, 1, jax.devices()[:1]))
+    stats = eng.train_batch(batch, jax.random.PRNGKey(0))
+    assert "model.loss" in stats and np.isfinite(stats["model.loss"])
+    assert "grad_norm" in stats and stats["grad_norm"] > 0
+    assert eng.global_step == 1
+
+
+def test_engine_overfit_one_batch(tmp_path):
+    """Loss must drop substantially when overfitting a single batch
+    (≡ the 200-step overfit in ``nar.py:149-165``, shortened)."""
+    _, params, loss_fn, batch = make_tiny()
+    cfg = {**OPT_CFG, "scheduler": {**OPT_CFG["scheduler"],
+           "warmup_max_lr": 3e-3, "warmup_num_steps": 5,
+           "total_num_steps": 10000}}
+    eng = Engine("model", params, loss_fn, cfg, tmp_path,
+                 mesh=build_mesh(1, 1, jax.devices()[:1]))
+    first = None
+    for i in range(60):
+        stats = eng.train_batch(batch, jax.random.PRNGKey(i))
+        if first is None:
+            first = stats["model.loss"]
+    assert stats["model.loss"] < first * 0.5, (first, stats["model.loss"])
+
+
+def test_engine_checkpoint_roundtrip(tmp_path):
+    _, params, loss_fn, batch = make_tiny()
+    eng = Engine("model", params, loss_fn, OPT_CFG, tmp_path,
+                 mesh=build_mesh(1, 1, jax.devices()[:1]))
+    eng.train_batch(batch, jax.random.PRNGKey(0))
+    eng.train_batch(batch, jax.random.PRNGKey(1))
+    eng.save_checkpoint()
+
+    eng2 = Engine("model", params, loss_fn, OPT_CFG, tmp_path,
+                  mesh=build_mesh(1, 1, jax.devices()[:1]))
+    assert eng2.load_checkpoint()
+    assert eng2.global_step == 2
+    a = jax.tree.leaves(eng.params)[0]
+    b = jax.tree.leaves(eng2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_engine_multichip_dp_tp_mesh(tmp_path):
+    """Full train step over a 4×2 dp×tp mesh on 8 virtual CPU devices —
+    the sharding path the driver's dryrun_multichip validates."""
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    mesh = build_mesh(4, 2)
+    _, params, loss_fn, batch = make_tiny()
+    eng = Engine("model", params, loss_fn, OPT_CFG, tmp_path, mesh=mesh)
+    stats = eng.train_batch(batch, jax.random.PRNGKey(0))
+    assert np.isfinite(stats["model.loss"])
+    # a second step exercises donated buffers
+    stats = eng.train_batch(batch, jax.random.PRNGKey(1))
+    assert np.isfinite(stats["model.loss"])
+    # params carrying tp shardings: qkv kernel second axis split over tp
+    qkv = eng.params["params"]["base"]["block_0"]["attn"]["to_qkv"]["kernel"]
+    spec = qkv.sharding.spec
+    assert "tp" in str(spec)

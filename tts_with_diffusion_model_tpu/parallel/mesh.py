@@ -1,0 +1,97 @@
+"""Device mesh + sharding rules (SURVEY §2.2 TPU-native plan).
+
+The reference's only parallelism is DeepSpeed data parallelism with NCCL
+all-reduce (``utils/engines.py:144-147``); the rebuild scales through a
+2-axis ``jax.sharding.Mesh``:
+
+  - ``dp``: data parallelism — batches shard over it, gradient psum is
+    inserted by XLA under jit (the NCCL all-reduce equivalent, riding ICI);
+  - ``tp``: tensor parallelism — attention heads / MLP hidden / vocab
+    dimensions shard over it via flax logical partitioning annotations
+    (``models/base.py`` tags kernels with "heads"/"mlp"/"vocab").
+
+Single chip degenerates to a 1×1 mesh — the same code path everywhere, the
+mesh-of-one analogue of the reference's ``fix_unset_envs``
+(``utils/distributed.py:13-29``).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# logical axis → physical mesh axis
+LOGICAL_RULES = (
+    ("batch", "dp"),
+    ("embed", None),
+    ("heads", "tp"),
+    ("mlp", "tp"),
+    ("vocab", "tp"),
+)
+
+
+def build_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp == -1:
+        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+        dp = n // tp
+    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def param_shardings(mesh: Mesh, params):
+    """Resolve flax logical annotations into NamedShardings for a param tree.
+
+    Dimensions that don't divide evenly by their mesh axis (e.g. the 1025-way
+    vocab with a stop token over tp=2) fall back to replication — correctness
+    over partitioning for ragged dims.
+    """
+    specs = nn.get_partition_spec(params)
+    shardings = nn.logical_to_mesh_sharding(specs, mesh, LOGICAL_RULES)
+    shapes = jax.tree.map(lambda x: x.shape, nn.meta.unbox(params))
+
+    def fix(shape, sharding: NamedSharding) -> NamedSharding:
+        spec = list(sharding.spec)
+        spec += [None] * (len(shape) - len(spec))
+        changed = False
+        for i, axis in enumerate(spec):
+            if axis is None:
+                continue
+            names = axis if isinstance(axis, tuple) else (axis,)
+            size = int(np.prod([mesh.shape[n] for n in names]))
+            if shape[i] % size != 0:
+                spec[i] = None
+                changed = True
+        if changed:
+            return NamedSharding(mesh, P(*spec))
+        return sharding
+
+    return jax.tree.map(
+        fix, shapes, shardings,
+        is_leaf=lambda x: isinstance(x, tuple) and all(isinstance(i, int) for i in x),
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over dp, replicate over tp."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Device-put numpy batch arrays with batch-axis sharding."""
+    bs = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
+            out[k] = jax.device_put(v, bs)
+        else:
+            out[k] = v
+    return out

