@@ -1,0 +1,121 @@
+"""End-to-end pipeline test: the BASELINE config-5 shape — text + prompt wav
+→ first stage (AR and diffusion variants) → NAR → codec decode → wav file —
+run with tiny models through the real CLI entrypoint."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_with_diffusion_model_tpu.export import load_bundle, save_bundle
+from tts_with_diffusion_model_tpu.models import AR, NAR
+from tts_with_diffusion_model_tpu.models.diffusion import (
+    DiffusionConfig,
+    DiffusionModel,
+)
+
+V = 1024
+
+
+@pytest.fixture(scope="module")
+def zoo(tmp_path_factory):
+    """Export tiny AR, NAR, and diffusion bundles plus a reference wav."""
+    root = tmp_path_factory.mktemp("zoo")
+    rng = jax.random.PRNGKey(0)
+
+    phone_symmap = {p: i for i, p in enumerate(
+        ["<s>", "</s>", "_", "AY1", "M", "HH", "IY1", "R", "T", "UW1", "EY1",
+         "K", "S", "AH1", "N", "OY1", "Z", "DH", "AH0", "B", "D", "EH1", "L",
+         "OW1", "AA1", "F", "G", "IH1", "IH0", "P", "V", "W", "Y", "AE1",
+         "ER0", "ER1", "NG", "CH", "SH", "TH", "JH", "UH1", "AW1", "AO1"], 1)}
+    spkr_symmap = {"ref": 0}
+
+    ar = AR(V, d_model=32, n_heads=4, n_layers=2, remat=False, dtype=jnp.float32)
+    t = jnp.zeros((1, 4), jnp.int32)
+    m1 = jnp.ones((1, 4))
+    pr = jnp.zeros((1, 6, 8), jnp.int32)
+    pm = jnp.ones((1, 6))
+    r = jnp.zeros((1, 5), jnp.int32)
+    rm = jnp.ones((1, 5))
+    ar_params = ar.init(rng, t, m1, pr, pm, r, rm)
+    save_bundle(
+        root / "ar", ar_params,
+        {"model": "ar", "num_tokens": V, "d_model": 32, "n_heads": 4,
+         "n_layers": 2},
+        phone_symmap, spkr_symmap,
+    )
+
+    nar = NAR(V, d_model=32, n_heads=4, n_layers=2, remat=False, dtype=jnp.float32)
+    r8 = jnp.zeros((1, 5, 8), jnp.int32)
+    ql = jnp.zeros((1,), jnp.int32)
+    nar_params = nar.init(rng, t, m1, pr, pm, r8, rm, ql)
+    save_bundle(
+        root / "nar", nar_params,
+        {"model": "nar", "num_tokens": V, "d_model": 32, "n_heads": 4,
+         "n_layers": 2},
+        phone_symmap, spkr_symmap,
+    )
+
+    dcfg = DiffusionConfig(n_classes=V + 1, d_model=32, n_heads=4, n_layers=1,
+                           timesteps=8, resp_len=48, text_len=24, prom_len=32,
+                           gen_len=40)
+    dm = DiffusionModel(dcfg, dtype=jnp.float32)
+    d_params = dm.init(rng)
+    save_bundle(
+        root / "diffusion", d_params,
+        {"model": "diffusion", "num_tokens": V, "d_model": 32, "n_heads": 4,
+         "n_layers": 1, "timesteps": 8, "resp_len": 48, "text_len": 24,
+         "prom_len": 32, "gen_len": 40},
+        phone_symmap, spkr_symmap,
+    )
+
+    # short reference wav (0.2 s) keeps codec encode cheap on CPU
+    from tts_with_diffusion_model_tpu.audio.wavio import write_wav
+
+    sr = 24_000
+    tt = np.linspace(0, 0.2, int(sr * 0.2), endpoint=False)
+    write_wav(root / "ref.wav", 0.3 * np.sin(2 * np.pi * 220 * tt), sr)
+    return root
+
+
+def _run_cli(zoo, monkeypatch, tmp_path, first_stage: str, extra=()):
+    from tts_with_diffusion_model_tpu.__main__ import main
+
+    out = tmp_path / f"out_{first_stage}.wav"
+    argv = [
+        "prog", "I am here", str(zoo / "ref.wav"), str(out),
+        "--ar-ckpt", str(zoo / first_stage),
+        "--nar-ckpt", str(zoo / "nar"),
+        "--max-ar-steps", "6",
+        *extra,
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    main()
+    return out
+
+
+def test_cli_ar_pipeline(zoo, monkeypatch, tmp_path):
+    out = _run_cli(zoo, monkeypatch, tmp_path, "ar")
+    from tts_with_diffusion_model_tpu.audio.wavio import read_wav
+
+    wav, sr = read_wav(out)
+    assert sr == 24_000
+    assert wav.shape[1] > 0
+
+
+def test_cli_diffusion_pipeline(zoo, monkeypatch, tmp_path):
+    out = _run_cli(zoo, monkeypatch, tmp_path, "diffusion")
+    from tts_with_diffusion_model_tpu.audio.wavio import read_wav
+
+    wav, sr = read_wav(out)
+    assert sr == 24_000
+    assert wav.shape[1] > 0
+
+
+def test_bundle_roundtrip(zoo):
+    params, meta, phone_symmap, spkr_symmap = load_bundle(zoo / "ar")
+    assert meta["model"] == "ar"
+    assert phone_symmap["<s>"] == 1
+    assert "params" in params

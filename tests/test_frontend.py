@@ -1,0 +1,80 @@
+"""Frontend tests: wav I/O round-trip, resampling, g2p determinism +
+conventions, symmap artifacts (SURVEY §4: "g2p determinism + symmap
+stability")."""
+
+import numpy as np
+import pytest
+
+from tts_with_diffusion_model_tpu.audio.wavio import (
+    convert_audio,
+    read_wav,
+    resample,
+    write_wav,
+)
+from tts_with_diffusion_model_tpu.text.g2p import encode, letter_to_sound
+from tts_with_diffusion_model_tpu.text.symmap import (
+    load_symmap,
+    phones_to_ids,
+    save_symmap,
+)
+
+
+def test_wav_roundtrip_pcm16(tmp_path):
+    sr = 24_000
+    t = np.linspace(0, 1, sr, endpoint=False)
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    write_wav(tmp_path / "a.wav", wav, sr)
+    out, sr2 = read_wav(tmp_path / "a.wav")
+    assert sr2 == sr
+    assert out.shape == (1, sr)
+    np.testing.assert_allclose(out[0], wav, atol=1.5 / 32768)
+
+
+def test_resample_preserves_tone():
+    sr, target = 48_000, 24_000
+    t = np.linspace(0, 1, sr, endpoint=False)
+    wav = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out = resample(wav, sr, target)
+    assert out.shape[-1] == target
+    # dominant frequency preserved
+    spec = np.abs(np.fft.rfft(out))
+    assert abs(int(np.argmax(spec)) - 440) <= 2
+
+
+def test_convert_audio_stereo_to_mono():
+    wav = np.stack([np.ones(100), -np.ones(100)]).astype(np.float32)
+    out = convert_audio(wav, 24_000, 24_000, target_channels=1)
+    assert out.shape == (100,)
+    np.testing.assert_allclose(out, 0.0, atol=1e-7)
+
+
+def test_g2p_deterministic_and_underscore_convention():
+    a = encode("I am here to make some noise")
+    b = encode("I am here to make some noise")
+    assert a == b
+    assert "_" in a  # spaces become underscores (emb/g2p.py:26-28)
+    assert all(p == "_" or p.isalnum() for p in a)
+    # punctuation → "_"
+    c = encode("hello, world!")
+    assert c.count("_") >= 2
+
+
+def test_g2p_lexicon_words():
+    assert encode("the")[0] == "DH"
+    assert encode("noise") == ["N", "OY1", "Z"]
+
+
+def test_letter_to_sound_fallback():
+    ph = letter_to_sound("zorblax")
+    assert len(ph) > 3
+    assert letter_to_sound("zorblax") == ph  # deterministic
+
+
+def test_symmap_roundtrip(tmp_path):
+    symmap = {"<s>": 1, "</s>": 2, "AA1": 3, "_": 4}
+    save_symmap(symmap, tmp_path / "s.json")
+    loaded = load_symmap(tmp_path / "s.json")
+    assert loaded == symmap
+    assert phones_to_ids(["AA1", "_"], symmap) == [3, 4]
+    with pytest.raises(KeyError):
+        phones_to_ids(["ZZZ"], symmap)

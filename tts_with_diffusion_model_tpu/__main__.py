@@ -1,0 +1,134 @@
+"""Zero-shot TTS inference CLI (≡ ``vall_e/__main__.py:44-77``).
+
+    python -m tts_with_diffusion_model_tpu '<text>' <ref.wav> <out.wav> \
+        [--ar-ckpt zoo/ar] [--nar-ckpt zoo/nar] [--temperature 1.0]
+
+Pipeline: reference wav → EnCodec codes (prompt) ; text → phones → ids ;
+first stage (AR **or** diffusion bundle — dispatched on the exported model
+family, covering both the reference's default AR path and its commented
+``generate_audio`` diffusion path, ``__main__.py:12-43``) → level-0 tokens ;
+NAR fills levels 2-8 ; EnCodec decode → wav.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def first_stage_generate(meta, model, params, phn_ids, proms, rng, args):
+    """Run the AR or diffusion first stage → level-0 token array (t,)."""
+    from .models.ar import ar_generate
+    from .models.diffusion import DiffusionModel
+
+    if isinstance(model, DiffusionModel):
+        c = model.config
+        text = np.zeros((1, c.text_len), np.int32)
+        tm = np.zeros((1, c.text_len), np.float32)
+        n = min(len(phn_ids), c.text_len)
+        text[0, :n] = phn_ids[:n]
+        tm[0, :n] = 1
+        pr = np.zeros((1, c.prom_len, 8), np.int32)
+        pm = np.zeros((1, c.prom_len), np.float32)
+        np_ = min(len(proms), c.prom_len)
+        pr[0, :np_] = proms[:np_]
+        pm[0, :np_] = 1
+        out = model.generate(
+            params, jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
+            jnp.asarray(pm), rng,
+        )
+        tokens = np.asarray(out[0])
+        return tokens[tokens != 0] if (tokens != 0).any() else tokens
+
+    # AR path
+    Tt, Tp = len(phn_ids), len(proms)
+    text = np.asarray(phn_ids, np.int32)[None]
+    tm = np.ones((1, Tt), np.float32)
+    pr = np.asarray(proms, np.int32)[None]
+    pm = np.ones((1, Tp), np.float32)
+    tokens, lengths = ar_generate(
+        model, params, jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
+        jnp.asarray(pm), rng, max_steps=args.max_ar_steps,
+        sampling_temperature=args.temperature,
+    )
+    return np.asarray(tokens[0, : int(lengths[0])])
+
+
+def build_model(meta):
+    """Rebuild the exported architecture.  ``model.json`` may carry explicit
+    dims (d_model/n_heads/n_layers) overriding the registry defaults."""
+    from .models import AR, NAR, get_model
+    from .models.diffusion import DiffusionConfig, DiffusionModel
+
+    name = meta["model"].lower()
+    num_tokens = meta.get("num_tokens", 1024)
+    dims = {k: meta[k] for k in ("d_model", "n_heads", "n_layers") if k in meta}
+    if not dims:
+        return get_model(name, num_tokens)
+    if name.startswith("diffusion"):
+        cfg_kw = {k: meta[k] for k in (
+            "d_model", "n_heads", "n_layers", "timesteps", "resp_len",
+            "text_len", "prom_len", "gen_len",
+        ) if k in meta}
+        return DiffusionModel(DiffusionConfig(n_classes=num_tokens + 1, **cfg_kw))
+    cls = AR if name.startswith("ar") else NAR
+    return cls(num_tokens, **dims)
+
+
+def main():
+    parser = argparse.ArgumentParser("VALL-E TTS (TPU)")
+    parser.add_argument("text")
+    parser.add_argument("reference", type=Path)
+    parser.add_argument("out_path", type=Path)
+    parser.add_argument("--ar-ckpt", type=Path, default=Path("zoo/ar"))
+    parser.add_argument("--nar-ckpt", type=Path, default=Path("zoo/nar"))
+    parser.add_argument("--device", default=None, help="unused on TPU (kept for CLI parity)")
+    parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--nar-temperature", type=float, default=0.2)
+    parser.add_argument("--max-ar-steps", type=int, default=1000)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    from .emb import g2p, qnt
+    from .export import load_bundle
+    from .models.nar import nar_generate
+    from .text.symmap import phones_to_ids
+
+    ar_params, ar_meta, phone_symmap, _ = load_bundle(args.ar_ckpt)
+    nar_params, nar_meta, _, _ = load_bundle(args.nar_ckpt)
+    ar = build_model(ar_meta)
+    nar = build_model(nar_meta)
+
+    proms = qnt.encode_from_file(args.reference)  # (8, t)
+    proms = proms.T  # (t, 8)
+
+    phones = g2p.encode(args.text)
+    phn_ids = phones_to_ids(phones, phone_symmap)
+
+    rng = jax.random.PRNGKey(args.seed)
+    rng, r1, r2 = jax.random.split(rng, 3)
+
+    resp = first_stage_generate(ar_meta, ar, ar_params, phn_ids, proms, r1, args)
+
+    Tr = len(resp)
+    text = np.asarray(phn_ids, np.int32)[None]
+    tm = np.ones((1, len(phn_ids)), np.float32)
+    pr = np.asarray(proms, np.int32)[None]
+    pm = np.ones((1, len(proms)), np.float32)
+    rm = np.ones((1, Tr), np.float32)
+    resps = nar_generate(
+        nar, nar_params, jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
+        jnp.asarray(pm), jnp.asarray(resp, jnp.int32)[None], jnp.asarray(rm),
+        r2, sampling_temperature=args.nar_temperature,
+    )
+
+    qnt.decode_to_file(np.asarray(resps[0]), args.out_path)
+    print(args.out_path, "saved.")
+
+
+if __name__ == "__main__":
+    main()

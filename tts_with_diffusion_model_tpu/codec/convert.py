@@ -1,0 +1,162 @@
+"""torch → flax weight conversion for the EnCodec-24kHz codec.
+
+Maps the published ``encodec`` checkpoint state_dict (or the same tensors
+re-exported from transformers' EncodecModel) onto ``codec/encodec.py``'s
+parameter tree.  SURVEY §7.3 flags codec fidelity as a hard part: tokens
+define the dataset, so the converter keeps every tensor bit-exact (only
+layout transposes happen here; weight-norm (v, g) pairs are preserved, not
+folded).
+
+Usage:
+    python -m tts_with_diffusion_model_tpu.codec.convert encodec_24khz.th \
+        [zoo/encodec_24khz.npz]
+
+Layout notes:
+  - Conv1d weight_v (Cout, Cin, K) → (K, Cin, Cout); weight_g (Cout, 1, 1)
+    → (1, 1, Cout).
+  - ConvTranspose1d weight_v (Cin, Cout, K) → (K, Cin, Cout); weight_g
+    (Cin, 1, 1) → (1, Cin, 1)  (torch weight_norm dim=0 ⇒ per-Cin norm).
+  - LSTM weight_ih_l{n} (4H, C) → (C, 4H); the two torch biases are summed.
+  - RVQ codebooks: quantizer.vq.layers.{q}._codebook.embed stacked.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _t(x):
+    return np.asarray(x, dtype=np.float32)
+
+
+def _conv(sd: dict, prefix: str) -> dict:
+    """NormConv1d inside SConv1d: ``<prefix>.conv.weight_{g,v}`` + bias."""
+    v = _t(sd[f"{prefix}.conv.weight_v"])  # (Cout, Cin, K)
+    g = _t(sd[f"{prefix}.conv.weight_g"])  # (Cout, 1, 1)
+    b = _t(sd[f"{prefix}.conv.bias"])
+    return {
+        "v": v.transpose(2, 1, 0),
+        "g": g.reshape(1, 1, -1),
+        "b": b,
+    }
+
+
+def _convtr(sd: dict, prefix: str) -> dict:
+    v = _t(sd[f"{prefix}.convtr.weight_v"])  # (Cin, Cout, K)
+    g = _t(sd[f"{prefix}.convtr.weight_g"])  # (Cin, 1, 1)
+    b = _t(sd[f"{prefix}.convtr.bias"])
+    return {
+        "v": v.transpose(2, 0, 1),
+        "g": g.reshape(1, -1, 1),
+        "b": b,
+    }
+
+
+def _lstm(sd: dict, prefix: str, num_layers: int = 2) -> dict:
+    out = {}
+    for layer in range(num_layers):
+        w_ih = _t(sd[f"{prefix}.lstm.weight_ih_l{layer}"])  # (4H, C)
+        w_hh = _t(sd[f"{prefix}.lstm.weight_hh_l{layer}"])  # (4H, H)
+        b = _t(sd[f"{prefix}.lstm.bias_ih_l{layer}"]) + _t(
+            sd[f"{prefix}.lstm.bias_hh_l{layer}"]
+        )
+        out[f"w_ih_l{layer}"] = w_ih.T
+        out[f"w_hh_l{layer}"] = w_hh.T
+        out[f"b_l{layer}"] = b
+    return out
+
+
+def _resblock(sd: dict, prefix: str) -> dict:
+    out = {
+        "conv1": _conv(sd, f"{prefix}.block.1"),
+        "conv2": _conv(sd, f"{prefix}.block.3"),
+    }
+    if f"{prefix}.shortcut.conv.weight_v" in sd:
+        out["shortcut"] = _conv(sd, f"{prefix}.shortcut")
+    return out
+
+
+def convert_state_dict(sd: dict) -> dict:
+    """encodec state_dict (numpy tensors) → flax param tree for EncodecModel."""
+    n_ratios = 4
+    enc = {"conv_in": _conv(sd, "encoder.model.0")}
+    for i in range(n_ratios):
+        enc[f"block_{i}"] = _resblock(sd, f"encoder.model.{1 + 3 * i}")
+        enc[f"down_{i}"] = _conv(sd, f"encoder.model.{3 + 3 * i}")
+    enc["lstm"] = _lstm(sd, f"encoder.model.{1 + 3 * n_ratios}")
+    enc["conv_out"] = _conv(sd, f"encoder.model.{3 + 3 * n_ratios}")
+
+    dec = {"conv_in": _conv(sd, "decoder.model.0"), "lstm": _lstm(sd, "decoder.model.1")}
+    for i in range(n_ratios):
+        dec[f"up_{i}"] = _convtr(sd, f"decoder.model.{3 + 3 * i}")
+        dec[f"block_{i}"] = _resblock(sd, f"decoder.model.{4 + 3 * i}")
+    dec["conv_out"] = _conv(sd, f"decoder.model.{2 + 3 * n_ratios}")
+
+    n_q = 0
+    while f"quantizer.vq.layers.{n_q}._codebook.embed" in sd:
+        n_q += 1
+    codebooks = np.stack(
+        [_t(sd[f"quantizer.vq.layers.{q}._codebook.embed"]) for q in range(n_q)]
+    )
+
+    return {
+        "params": {
+            "encoder": enc,
+            "decoder": dec,
+            "quantizer": {"codebooks": codebooks},
+        }
+    }
+
+
+def load_torch_checkpoint(path: str | Path) -> dict:
+    import torch
+
+    obj = torch.load(str(path), map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "best_state" in obj:  # official release format
+        obj = obj["best_state"]
+    return {k: v.numpy() for k, v in obj.items()}
+
+
+def save_npz_params(params: dict, path: str | Path):
+    flat = {}
+
+    def rec(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    rec("", params)
+    np.savez(path, **flat)
+
+
+def load_npz_params(path: str | Path) -> dict:
+    data = np.load(path)
+    tree: dict = {}
+    for key in data.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return tree
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(1)
+    src = Path(sys.argv[1])
+    dst = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("zoo/encodec_24khz.npz")
+    dst.parent.mkdir(parents=True, exist_ok=True)
+    params = convert_state_dict(load_torch_checkpoint(src))
+    save_npz_params(params, dst)
+    print(f"{dst} saved.")
+
+
+if __name__ == "__main__":
+    main()

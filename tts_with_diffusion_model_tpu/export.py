@@ -1,0 +1,104 @@
+"""Export a trained model to a deployment bundle.
+
+``python -m tts_with_diffusion_model_tpu.export <path> yaml=<cfg>``
+
+≡ ``vall_e/export.py``: loads the engines (pulling the latest checkpoint)
+and writes a frozen inference artifact.  Instead of the reference's pickled
+whole-model object with symmaps stapled on (``export.py:15-20``), the bundle
+is a directory of explicit artifacts (SURVEY §5.4):
+
+    <path>/params.npz       flat parameter arrays
+    <path>/phone_symmap.json, spkr_symmap.json
+    <path>/model.json       model family + hyperparameters
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from .codec.convert import load_npz_params, save_npz_params
+from .config import Config
+from .data.dataset import create_datasets
+from .models import get_model
+from .text.symmap import save_symmap
+
+
+def save_bundle(path: Path, params, model_meta: dict, phone_symmap, spkr_symmap):
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    # ``params`` is the full flax variable dict ({"params": {...}}) — saved
+    # as-is so load_bundle returns something apply() accepts directly.
+    save_npz_params(np_params(params), path / "params.npz")
+    (path / "model.json").write_text(json.dumps(model_meta, indent=1))
+    save_symmap(phone_symmap, path / "phone_symmap.json")
+    save_symmap(spkr_symmap, path / "spkr_symmap.json")
+
+
+def np_params(tree):
+    from flax import linen as nn
+
+    tree = nn.meta.unbox(tree)  # strip LogicallyPartitioned metadata
+
+    def rec(node):
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return np.asarray(node)
+
+    return rec(tree)
+
+
+def load_bundle(path: Path) -> tuple[dict, dict, dict, dict]:
+    """Returns (params, model_meta, phone_symmap, spkr_symmap)."""
+    from .text.symmap import load_symmap
+
+    import jax.numpy as jnp
+
+    path = Path(path)
+    params = load_npz_params(path / "params.npz")
+    # device arrays, not numpy: jitted samplers fancy-index embedding tables
+    # with traced token ids.
+    params = jax.tree.map(jnp.asarray, params)
+    meta = json.loads((path / "model.json").read_text())
+    return (
+        params,
+        meta,
+        load_symmap(path / "phone_symmap.json"),
+        load_symmap(path / "spkr_symmap.json"),
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser("Save trained model to path.")
+    parser.add_argument("path", type=Path)
+    args = parser.parse_args()
+
+    cfg = Config.from_cli()
+    from .train.train import load_engines
+
+    engines = load_engines(cfg)
+    engine = engines["model"]
+
+    train_dataset, _ = create_datasets(cfg)
+    meta = {
+        "model": cfg.model,
+        "num_tokens": cfg.num_tokens,
+        "step": engine.global_step,
+        "cfg_name": cfg.cfg_name,
+    }
+    save_bundle(
+        args.path,
+        engine.params,
+        meta,
+        train_dataset.phone_symmap,
+        train_dataset.spkr_symmap,
+    )
+    print(args.path, "saved.")
+
+
+if __name__ == "__main__":
+    main()
