@@ -1,0 +1,131 @@
+"""Continuous Gaussian DDPM family tests (the reference's variant snapshots):
+closed-form term identities, q_sample/p_sample behavior, domain codecs, and
+the end-to-end loss/generate of both domains."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_with_diffusion_model_tpu.diffusion.gaussian import (
+    GaussianDiffusion,
+    denormalize_tokens,
+    nearest_embedding,
+    normalize_tokens,
+)
+from tts_with_diffusion_model_tpu.models.gaussian_tts import (
+    GaussianConfig,
+    GaussianDiffusionModel,
+)
+
+T = 10
+
+
+def test_closed_form_terms():
+    g = GaussianDiffusion.create(T, "linear", start=1e-4, stop=0.02)
+    np.testing.assert_allclose(
+        np.asarray(g.alphas), 1 - np.asarray(g.betas), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.alphas_cumprod),
+        np.cumprod(np.asarray(g.alphas)),
+        rtol=1e-5,
+    )
+    assert float(g.alphas_cumprod_prev[0]) == 1.0
+    # posterior variance positive and < beta
+    pv = np.asarray(g.posterior_variance)
+    assert (pv[1:] > 0).all() and (pv <= np.asarray(g.betas) + 1e-7).all()
+
+
+def test_q_sample_interpolates():
+    g = GaussianDiffusion.create(T, "cosine")
+    x0 = jnp.ones((2, 4, 3))
+    noise = jnp.zeros_like(x0)
+    # with zero noise, x_t = sqrt(ᾱ_t)·x₀
+    t = jnp.array([0, T - 1])
+    xt = g.q_sample(x0, t, noise)
+    np.testing.assert_allclose(
+        np.asarray(xt[0]).mean(), float(g.sqrt_alphas_cumprod[0]), rtol=1e-5
+    )
+    assert float(xt[1].mean()) < float(xt[0].mean())  # more signal decay later
+
+
+def test_p_sample_t0_deterministic():
+    g = GaussianDiffusion.create(T, "cosine")
+    x_t = jnp.ones((1, 4, 2))
+    eps = jnp.zeros_like(x_t)
+    z = 100.0 * jnp.ones_like(x_t)  # huge noise must be ignored at t=0
+    out = g.p_sample(eps, x_t, jnp.array([0]), z)
+    expected = float(g.sqrt_recip_alphas[0])
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+
+
+def test_value_domain_roundtrip():
+    V = 1024
+    ids = jnp.array([[0, 1, 512, 1023]])
+    x = normalize_tokens(ids, V)
+    assert float(x.min()) == -1.0 and float(x.max()) == 1.0
+    back = denormalize_tokens(x, V)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(ids))
+
+
+def test_nearest_embedding_exact():
+    table = jax.random.normal(jax.random.PRNGKey(0), (32, 8)) * 5
+    idx = nearest_embedding(table[jnp.array([3, 7])], table)
+    np.testing.assert_array_equal(np.asarray(idx), [3, 7])
+
+
+def _tiny_cfg(domain):
+    return GaussianConfig(
+        n_tokens=64, d_model=16, n_heads=2, n_layers=1, timesteps=6,
+        resp_len=12, text_len=5, prom_len=7, gen_len=9, domain=domain,
+    )
+
+
+def _batch(rng, V=64):
+    B = 2
+    return dict(
+        text=jax.random.randint(rng, (B, 5), 1, V),
+        text_mask=jnp.ones((B, 5)),
+        proms=jax.random.randint(rng, (B, 7, 8), 0, V),
+        prom_mask=jnp.ones((B, 7)),
+        resp=jax.random.randint(rng, (B, 12), 0, V),
+        resp_mask=jnp.ones((B, 12)).at[1, 9:].set(0),
+    )
+
+
+def test_gaussian_model_embedding_domain():
+    m = GaussianDiffusionModel(_tiny_cfg("embedding"), dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = m.init(rng)
+    loss, stats = m.loss(params, _batch(rng), rng)
+    assert jnp.isfinite(loss)
+    b = _batch(rng)
+    out = m.generate(params, b["text"], b["text_mask"], b["proms"],
+                     b["prom_mask"], rng)
+    assert out.shape == (2, 12)
+    assert int(out[:, 9:].sum()) == 0
+    assert 0 <= int(out.min()) and int(out.max()) < 65
+
+
+def test_gaussian_model_value_domain():
+    m = GaussianDiffusionModel(_tiny_cfg("value"), dtype=jnp.float32)
+    rng = jax.random.PRNGKey(1)
+    params = m.init(rng)
+    loss, _ = m.loss(params, _batch(rng), rng)
+    assert jnp.isfinite(loss)
+    b = _batch(rng)
+    out = m.generate(params, b["text"], b["text_mask"], b["proms"],
+                     b["prom_mask"], rng)
+    assert out.shape == (2, 12)
+    assert int(out.min()) >= 0 and int(out.max()) < 64
+
+
+def test_registry_dispatch():
+    from tts_with_diffusion_model_tpu.models import get_model
+    from tts_with_diffusion_model_tpu.models.diffusion import DiffusionModel
+
+    assert isinstance(get_model("diffusion"), DiffusionModel)
+    m = get_model("diffusion-gaussian", num_tokens=64)
+    assert m.config.domain == "embedding"
+    m = get_model("diffusion-gaussian-value", num_tokens=64)
+    assert m.config.domain == "value"

@@ -19,6 +19,16 @@ from .dit import DiTDenoiser  # noqa: F401
 def get_model(name: str, num_tokens: int = 1024):
     name = name.lower()
 
+    if name.startswith("diffusion-gaussian"):
+        # The continuous-DDPM variant family the reference kept as snapshot
+        # files (ar2/ar-dit = embedding domain; ar-4/ar-last = value domain).
+        from .gaussian_tts import GaussianConfig, GaussianDiffusionModel
+
+        domain = "value" if name.endswith("value") else "embedding"
+        return GaussianDiffusionModel(
+            GaussianConfig(n_tokens=num_tokens, domain=domain)
+        )
+
     if name.startswith("diffusion"):
         return DiffusionModel(
             DiffusionConfig(

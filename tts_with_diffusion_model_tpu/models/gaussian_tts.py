@@ -1,0 +1,222 @@
+"""Continuous Gaussian-diffusion TTS model (the reference's variant family).
+
+One first-class model covering the capabilities of the reference's
+superseded continuous-diffusion snapshots (SURVEY §2.1 rows ``ar-1.py``,
+``ar2.py``, ``ar-3.py``, ``ar-4.py``, ``ar-last.py``, ``ar-dit.py``,
+``diffused_ar``): a DiT denoiser (reusing ``models/dit.py``'s blocks and
+conditioning towers) predicting the noise ε over either
+
+  - ``domain="embedding"``: resp token *embedding vectors*, decoded by
+    nearest-embedding lookup (``ar2.py`` / ``ar-dit.py`` design), or
+  - ``domain="value"``: *normalized integer token values* in [-1, 1],
+    decoded by de-normalize + round (``ar-4.py`` / ``ar-last.py`` design).
+
+Registry names: ``diffusion-gaussian`` (embedding) /
+``diffusion-gaussian-value``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..diffusion.gaussian import (
+    GaussianDiffusion,
+    denormalize_tokens,
+    nearest_embedding,
+    normalize_tokens,
+)
+from .base import EMBED, VOCAB
+from .dit import CondTower, DiTBlock, MultiEmbedding, sinusoidal_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianConfig:
+    n_tokens: int = 1024
+    d_model: int = 256
+    n_heads: int = 8
+    n_layers: int = 8
+    n_prom_levels: int = 8
+    timesteps: int = 100
+    schedule: str = "cosine"
+    domain: str = "embedding"  # "embedding" | "value"
+    resp_len: int = 448
+    text_len: int = 50
+    prom_len: int = 398
+    gen_len: int = 350
+
+
+class GaussianDenoiser(nn.Module):
+    """Continuous-input denoiser: Dense in-projection (instead of a token
+    embedding), DiT blocks with text/speaker cross-attn + FiLM(t), Dense
+    out-projection back to the diffusion domain width."""
+
+    in_dim: int
+    d_model: int
+    n_heads: int
+    n_layers: int
+    n_classes: int
+    n_prom_levels: int
+    timesteps: int
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.in_proj = nn.Dense(self.d_model)
+        self.text_emb = nn.Embed(
+            self.n_classes,
+            self.d_model,
+            embedding_init=nn.with_logical_partitioning(
+                nn.initializers.normal(1.0), (VOCAB, EMBED)
+            ),
+        )
+        self.proms_emb = MultiEmbedding(
+            self.n_prom_levels, self.n_classes, self.d_model
+        )
+        self.time_emb = nn.Embed(self.timesteps + 1, self.d_model)
+        self.text_tower = CondTower(self.d_model, self.n_heads, mlp_mult=2)
+        self.prom_tower = CondTower(self.d_model, self.n_heads, mlp_mult=3)
+        self.blocks = [
+            DiTBlock(self.d_model, self.n_heads, name=f"dit_{i}")
+            for i in range(self.n_layers)
+        ]
+        self.out_proj = nn.Dense(self.in_dim, dtype=jnp.float32)
+
+    def conds(self, text, text_mask, proms, prom_mask):
+        Tt, Tp = text.shape[1], proms.shape[1]
+        te = self.text_emb(text) + sinusoidal_embedding(
+            jnp.arange(Tt)[None], self.d_model
+        )
+        pe = self.proms_emb(proms) + sinusoidal_embedding(
+            jnp.arange(Tp)[None], self.d_model
+        )
+        te = te.astype(self.dtype) * text_mask[..., None].astype(self.dtype)
+        pe = pe.astype(self.dtype) * prom_mask[..., None].astype(self.dtype)
+        return self.text_tower(te, text_mask), self.prom_tower(pe, prom_mask)
+
+    def denoise(self, x_t, resp_mask, t, text_cond, text_mask, spkr_cond, prom_mask):
+        """x_t: (B, Tr, in_dim) continuous noisy input → ε̂ same shape."""
+        x = self.in_proj(x_t.astype(self.dtype))
+        x = x + sinusoidal_embedding(
+            jnp.arange(x.shape[1])[None], self.d_model
+        ).astype(self.dtype)
+        x = x * resp_mask[..., None].astype(self.dtype)
+        t_emb = self.time_emb(t).astype(self.dtype)
+        for block in self.blocks:
+            x = block(
+                x, resp_mask, text_cond, text_mask, spkr_cond, prom_mask, t_emb
+            )
+        eps = self.out_proj(x.astype(jnp.float32))
+        return eps * resp_mask[..., None]
+
+    def __call__(self, text, text_mask, proms, prom_mask, x_t, resp_mask, t):
+        tc, sc = self.conds(text, text_mask, proms, prom_mask)
+        return self.denoise(x_t, resp_mask, t, tc, text_mask, sc, prom_mask)
+
+
+class GaussianDiffusionModel:
+    """Functional wrapper: loss + scan sampler for the continuous family."""
+
+    def __init__(self, config: GaussianConfig = GaussianConfig(), dtype=jnp.bfloat16):
+        self.config = config
+        self.in_dim = config.d_model if config.domain == "embedding" else 1
+        self.denoiser = GaussianDenoiser(
+            in_dim=self.in_dim,
+            d_model=config.d_model,
+            n_heads=config.n_heads,
+            n_layers=config.n_layers,
+            n_classes=config.n_tokens + 1,
+            n_prom_levels=config.n_prom_levels,
+            timesteps=config.timesteps,
+            dtype=dtype,
+        )
+        self.process = GaussianDiffusion.create(config.timesteps, config.schedule)
+
+    def init(self, rng):
+        c = self.config
+        text = jnp.zeros((1, c.text_len), jnp.int32)
+        tm = jnp.ones((1, c.text_len), jnp.float32)
+        proms = jnp.zeros((1, c.prom_len, c.n_prom_levels), jnp.int32)
+        pm = jnp.ones((1, c.prom_len), jnp.float32)
+        x = jnp.zeros((1, c.resp_len, self.in_dim), jnp.float32)
+        rm = jnp.ones((1, c.resp_len), jnp.float32)
+        t = jnp.zeros((1,), jnp.int32)
+        return self.denoiser.init(rng, text, tm, proms, pm, x, rm, t)
+
+    def _embed_table(self, params):
+        table = params["params"]["text_emb"]["embedding"]
+        return nn.meta.unbox(table)  # strip partitioning metadata if boxed
+
+    def _to_domain(self, params, resp: jax.Array) -> jax.Array:
+        """Integer level-0 tokens → the continuous diffusion domain."""
+        if self.config.domain == "embedding":
+            table = self._embed_table(params)
+            return table[resp].astype(jnp.float32)
+        return normalize_tokens(resp, self.config.n_tokens)[..., None]
+
+    def _from_domain(self, params, x: jax.Array) -> jax.Array:
+        if self.config.domain == "embedding":
+            return nearest_embedding(x, self._embed_table(params))
+        return denormalize_tokens(x[..., 0], self.config.n_tokens)
+
+    def loss(self, params, batch: dict, rng: jax.Array, max_t: int | None = None):
+        """ε-prediction MSE at a sampled timestep (the reference loops all t
+        and sums masked MSE, ``ar-last.py:389-413``; sampled-t is standard)."""
+        c = self.config
+        T = max_t or c.timesteps
+        resp, rm = batch["resp"], batch["resp_mask"]
+        B = resp.shape[0]
+        x0 = self._to_domain(params, resp)
+
+        rng_t, rng_n = jax.random.split(rng)
+        t = jax.random.randint(rng_t, (B,), 1, T)
+        noise = jax.random.normal(rng_n, x0.shape, jnp.float32)
+        x_t = self.process.q_sample(x0, t, noise)
+        x_t = x_t * rm[..., None]
+
+        eps = self.denoiser.apply(
+            params, batch["text"], batch["text_mask"], batch["proms"],
+            batch["prom_mask"], x_t, rm, t,
+        )
+        mse = ((eps - noise) ** 2 * rm[..., None]).sum() / jnp.maximum(
+            rm.sum() * x0.shape[-1], 1.0
+        )
+        return mse, {"mse": mse}
+
+    def generate(self, params, text, text_mask, proms, prom_mask, rng,
+                 gen_len: int | None = None):
+        """Reverse loop as one ``lax.scan``; decode to tokens at the end."""
+        c = self.config
+        B = text.shape[0]
+        gl = gen_len if gen_len is not None else c.gen_len
+        rm = (jnp.arange(c.resp_len)[None, :] < gl).astype(jnp.float32)
+        rm = jnp.broadcast_to(rm, (B, c.resp_len))
+
+        rng, r0 = jax.random.split(rng)
+        x = jax.random.normal(r0, (B, c.resp_len, self.in_dim), jnp.float32)
+        x = x * rm[..., None]
+
+        tc, sc = self.denoiser.apply(
+            params, text, text_mask, proms, prom_mask,
+            method=GaussianDenoiser.conds,
+        )
+        ts = jnp.arange(c.timesteps - 1, -1, -1)
+        rngs = jax.random.split(rng, ts.shape[0])
+
+        def step(x_t, inp):
+            t_scalar, r = inp
+            t = jnp.full((B,), t_scalar, jnp.int32)
+            eps = self.denoiser.apply(
+                params, x_t, rm, t, tc, text_mask, sc, prom_mask,
+                method=GaussianDenoiser.denoise,
+            )
+            z = jax.random.normal(r, x_t.shape, jnp.float32)
+            x_prev = self.process.p_sample(eps, x_t, t, z)
+            return x_prev * rm[..., None], None
+
+        x, _ = jax.lax.scan(step, x, (ts, rngs))
+        tokens = self._from_domain(params, x)
+        return (tokens * rm).astype(jnp.int32)
