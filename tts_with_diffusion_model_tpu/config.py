@@ -113,6 +113,10 @@ class Config(ConfigBase):
 
     diffusion_train_mode: str = "sampled"  # "sampled" | "all_t" (ref parity)
 
+    # optional per-run hyperparameter overrides for get_model (e.g. tiny
+    # smoke-test models: {d_model: 64, n_layers: 2})
+    model_overrides: dict | None = None
+
     @property
     def get_spkr(self):
         return make_spkr_getter(self.spkr_name_getter)

@@ -16,29 +16,42 @@ from .diffusion import DiffusionConfig, DiffusionModel  # noqa: F401
 from .dit import DiTDenoiser  # noqa: F401
 
 
-def get_model(name: str, num_tokens: int = 1024):
+def get_model(name: str, num_tokens: int = 1024, overrides: dict | None = None):
+    """Build a model from its registry name.
+
+    ``overrides`` (optional) replaces individual hyperparameters — e.g.
+    ``{"d_model": 64, "n_layers": 2}`` for tiny smoke-test models, or
+    ``{"timesteps": 50}`` for a faster diffusion sampler.
+    """
     name = name.lower()
+    ov = dict(overrides or {})
 
     if name.startswith("diffusion-gaussian"):
         # The continuous-DDPM variant family the reference kept as snapshot
         # files (ar2/ar-dit = embedding domain; ar-4/ar-last = value domain).
+        import dataclasses
+
         from .gaussian_tts import GaussianConfig, GaussianDiffusionModel
 
         domain = "value" if name.endswith("value") else "embedding"
-        return GaussianDiffusionModel(
-            GaussianConfig(n_tokens=num_tokens, domain=domain)
-        )
+        cfg = GaussianConfig(n_tokens=num_tokens, domain=domain)
+        valid = {f.name for f in dataclasses.fields(GaussianConfig)}
+        cfg = dataclasses.replace(cfg, **{k: v for k, v in ov.items() if k in valid})
+        return GaussianDiffusionModel(cfg)
 
     if name.startswith("diffusion"):
-        return DiffusionModel(
-            DiffusionConfig(
-                n_classes=num_tokens + 1,
-                d_model=512,
-                n_heads=8,
-                n_layers=8,
-                timesteps=100,
-            )
+        import dataclasses
+
+        cfg = DiffusionConfig(
+            n_classes=num_tokens + 1,
+            d_model=512,
+            n_heads=8,
+            n_layers=8,
+            timesteps=100,
         )
+        valid = {f.name for f in dataclasses.fields(DiffusionConfig)}
+        cfg = dataclasses.replace(cfg, **{k: v for k, v in ov.items() if k in valid})
+        return DiffusionModel(cfg)
 
     if name.startswith("ar"):
         Model = AR
@@ -48,9 +61,12 @@ def get_model(name: str, num_tokens: int = 1024):
         raise ValueError("Model name should start with AR or NAR.")
 
     if "-quarter" in name:
-        return Model(num_tokens, d_model=256, n_heads=4, n_layers=12)
-    if "-half" in name:
-        return Model(num_tokens, d_model=512, n_heads=8, n_layers=12)
-    if name not in ["ar", "nar", "diffusion"]:
+        dims = dict(d_model=256, n_heads=4, n_layers=12)
+    elif "-half" in name:
+        dims = dict(d_model=512, n_heads=8, n_layers=12)
+    elif name in ["ar", "nar", "diffusion"]:
+        dims = dict(d_model=1024, n_heads=16, n_layers=12)
+    else:
         raise NotImplementedError(name)
-    return Model(num_tokens, d_model=1024, n_heads=16, n_layers=12)
+    dims.update({k: v for k, v in ov.items() if k in ("d_model", "n_heads", "n_layers")})
+    return Model(num_tokens, **dims)

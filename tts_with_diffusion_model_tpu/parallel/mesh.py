@@ -38,8 +38,8 @@ def build_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
     if dp == -1:
         assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
         dp = n // tp
-    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, tp)
+    assert dp * tp <= n, f"mesh {dp}x{tp} needs more than {n} devices"
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 
 

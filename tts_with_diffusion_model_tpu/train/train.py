@@ -30,8 +30,8 @@ _logger = logging.getLogger(__name__)
 
 
 def make_bucket(cfg: Config, model) -> BucketSpec:
-    if isinstance(model, DiffusionModel):
-        c = model.config
+    c = getattr(model, "config", None)
+    if c is not None and hasattr(c, "resp_len"):  # diffusion family models
         return BucketSpec(c.text_len, c.prom_len, c.resp_len)
     return BucketSpec(cfg.max_text_len, cfg.max_prom_len, cfg.max_resp_len)
 
@@ -94,7 +94,7 @@ def make_loss_fn(cfg: Config, model):
 
 
 def init_params(cfg: Config, model, bucket: BucketSpec, rng):
-    if isinstance(model, DiffusionModel):
+    if not hasattr(model, "apply"):  # diffusion-family functional wrappers
         return model.init(rng)
     B = 2
     text = jnp.zeros((B, bucket.text_len), jnp.int32)
@@ -116,7 +116,7 @@ def load_engines(cfg: Config | None = None):
     if cfg is None:
         cfg = Config.from_cli()
     init_distributed()
-    model = get_model(cfg.model, cfg.num_tokens)
+    model = get_model(cfg.model, cfg.num_tokens, cfg.model_overrides)
     bucket = make_bucket(cfg, model)
     rng = jax.random.PRNGKey(cfg.seed)
     params = init_params(cfg, model, bucket, rng)
@@ -146,7 +146,7 @@ def main(cfg: Config | None = None):
     _cfg_proxy.set(cfg)
     setup_logging(cfg.log_dir)
 
-    model = get_model(cfg.model, cfg.num_tokens)
+    model = get_model(cfg.model, cfg.num_tokens, cfg.model_overrides)
     bucket = make_bucket(cfg, model)
     train_dl, subtrain_dl, val_dl = create_train_val_dataloader(cfg, bucket)
 

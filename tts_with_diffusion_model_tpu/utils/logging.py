@@ -47,7 +47,7 @@ def setup_logging(log_dir: str | Path | None = None, level: str = "INFO"):
         log_dir = Path(log_dir)
         log_dir.mkdir(parents=True, exist_ok=True)
         file_handler = logging.FileHandler(str(log_dir / "log.txt"))
-        file_handler.setLevel(logging.DEBUG)
+        file_handler.setLevel(logging.INFO)
         file_handler.setFormatter(
             logging.Formatter(
                 "%(asctime)s - %(name)s - %(levelname)s - GR=%(rank)s - %(message)s"
@@ -57,7 +57,7 @@ def setup_logging(log_dir: str | Path | None = None, level: str = "INFO"):
 
     rank_filter = _RankFilter(global_rank())
     root = logging.getLogger()
-    root.setLevel(logging.DEBUG if log_dir is not None else level)
+    root.setLevel(level)
     root.handlers = []
     for h in handlers:
         h.addFilter(rank_filter)
