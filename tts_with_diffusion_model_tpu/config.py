@@ -117,6 +117,10 @@ class Config(ConfigBase):
     # smoke-test models: {d_model: 64, n_layers: 2})
     model_overrides: dict | None = None
 
+    # C++ prefetching data loader (native/dataloader.cc); falls back to the
+    # Python loader when unavailable or for .qnt.pt-only datasets
+    use_native_loader: bool = True
+
     @property
     def get_spkr(self):
         return make_spkr_getter(self.spkr_name_getter)

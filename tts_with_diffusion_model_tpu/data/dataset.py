@@ -355,7 +355,23 @@ def create_train_val_dataloader(cfg, bucket: BucketSpec | None = None):
     bucket = bucket or BucketSpec(cfg.max_text_len, cfg.max_prom_len, cfg.max_resp_len)
     train_dataset, val_dataset = create_datasets(cfg)
 
-    train_dl = DataLoader(train_dataset, cfg.batch_size, bucket, training=True)
+    train_dl = None
+    if getattr(cfg, "use_native_loader", True):
+        # Prefer the C++ prefetching loader (native/dataloader.cc); fall back
+        # to the Python loader for .qnt.pt-only datasets or missing toolchain.
+        try:
+            from .native_loader import NativeDataLoader
+
+            train_dl = NativeDataLoader(
+                train_dataset, cfg.batch_size, bucket,
+                n_workers=max(1, min(cfg.nj, 4)),
+                seed=cfg.seed + _process_offset() * 7919,
+            )
+            _logger.info("Using native C++ data loader")
+        except Exception as e:
+            _logger.info(f"Native loader unavailable ({e}); using Python loader")
+    if train_dl is None:
+        train_dl = DataLoader(train_dataset, cfg.batch_size, bucket, training=True)
     val_dl = DataLoader(val_dataset, cfg.eval_batch_size, bucket, training=False)
 
     _logger.info(str(train_dataset.phone_symmap))
