@@ -41,7 +41,18 @@ def timed(fn, runs: int, *args):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--runs", type=int, default=5)
+    parser.add_argument(
+        "--stages", default="d3pm,ar,nar,codec,e2e",
+        help="comma-separated subset: d3pm,ar,nar,codec,e2e",
+    )
     args = parser.parse_args()
+    stages = set(args.stages.split(","))
+
+    try:  # persistent compile cache: repeat runs skip the slow first compile
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
 
     from tts_with_diffusion_model_tpu.codec.encodec import HOP, Codec
     from tts_with_diffusion_model_tpu.models import NAR, get_model
@@ -51,81 +62,94 @@ def main():
     rng = jax.random.PRNGKey(0)
     results = {}
 
-    # ---------- D3PM stage ----------
-    dm = get_model("diffusion")
-    c = dm.config
-    d_params = dm.init(rng)
-    text = jnp.zeros((1, c.text_len), jnp.int32).at[:, :20].set(5)
-    tm = (jnp.arange(c.text_len)[None] < 20).astype(jnp.float32)
-    proms = jnp.zeros((1, c.prom_len, 8), jnp.int32)
-    pm = (jnp.arange(c.prom_len)[None] < 225).astype(jnp.float32)
-    gen = jax.jit(lambda p, r: dm.generate(p, text, tm, proms, pm, r))
-    d_tokens, dt = timed(gen, args.runs, d_params, rng)
-    results["d3pm_tokens_per_sec"] = c.gen_len / dt
-    results["d3pm_stage_ms"] = dt * 1e3
-
-    # ---------- AR stage (KV-cache decoder) ----------
-    ar = get_model("ar")  # full-size 1024/16/12 (registry default)
-    Tt, Tp, steps = 20, 225, 350
+    # shared prompt/text fixtures
+    Tt, Tp, Tr = 20, 225, 350
     a_text = jnp.full((1, Tt), 5, jnp.int32)
     a_tm = jnp.ones((1, Tt), jnp.float32)
     a_pr = jnp.zeros((1, Tp, 8), jnp.int32)
     a_pm = jnp.ones((1, Tp), jnp.float32)
-    a_params = ar.init(
-        rng, a_text, a_tm, a_pr, a_pm, jnp.zeros((1, 4), jnp.int32),
-        jnp.ones((1, 4), jnp.float32),
-    )
-    ar_fn = jax.jit(
-        lambda p, r: ar_generate(
-            ar, p, a_text, a_tm, a_pr, a_pm, r, max_steps=steps
-        )[0]
-    )
-    _, dt = timed(ar_fn, args.runs, a_params, rng)
-    results["ar_tokens_per_sec"] = steps / dt
-    results["ar_stage_ms"] = dt * 1e3
 
-    # ---------- NAR stage ----------
-    nar = get_model("nar-half")
-    Tr = c.gen_len
-    n_text = a_text
-    n_resps = jnp.zeros((1, Tr, 8), jnp.int32)
+    dm = d_params = None
+    if {"d3pm", "e2e"} & stages:
+        dm = get_model("diffusion")
+        c = dm.config
+        d_params = dm.init(rng)
+        text = jnp.zeros((1, c.text_len), jnp.int32).at[:, :Tt].set(5)
+        tm = (jnp.arange(c.text_len)[None] < Tt).astype(jnp.float32)
+        proms = jnp.zeros((1, c.prom_len, 8), jnp.int32)
+        pm = (jnp.arange(c.prom_len)[None] < Tp).astype(jnp.float32)
+
+    if "d3pm" in stages:
+        gen = jax.jit(lambda p, r: dm.generate(p, text, tm, proms, pm, r))
+        d_tokens, dt = timed(gen, args.runs, d_params, rng)
+        results["d3pm_tokens_per_sec"] = c.gen_len / dt
+        results["d3pm_stage_ms"] = dt * 1e3
+
+    if "ar" in stages:
+        # ---------- AR stage (KV-cache decoder) ----------
+        ar = get_model("ar")  # full-size 1024/16/12 (registry default)
+        steps = Tr
+        a_params = ar.init(
+            rng, a_text, a_tm, a_pr, a_pm, jnp.zeros((1, 4), jnp.int32),
+            jnp.ones((1, 4), jnp.float32),
+        )
+        ar_fn = jax.jit(
+            lambda p, r: ar_generate(
+                ar, p, a_text, a_tm, a_pr, a_pm, r, max_steps=steps
+            )[0]
+        )
+        _, dt = timed(ar_fn, args.runs, a_params, rng)
+        results["ar_tokens_per_sec"] = steps / dt
+        results["ar_stage_ms"] = dt * 1e3
+
+    nar = n_params = None
     n_rm = jnp.ones((1, Tr), jnp.float32)
-    n_params = nar.init(
-        rng, n_text, a_tm, a_pr, a_pm, n_resps, n_rm, jnp.zeros((1,), jnp.int32)
-    )
-    lvl0 = jnp.asarray(d_tokens[:, :Tr], jnp.int32)
-
-    def nar_fn(p, r):
-        return nar_generate(nar, p, n_text, a_tm, a_pr, a_pm, lvl0, n_rm, r)
-
-    codes, dt = timed(nar_fn, args.runs, n_params, rng)
-    results["nar_stage_ms"] = dt * 1e3
-
-    # ---------- codec decode ----------
-    codec = Codec()
-    dec = jax.jit(
-        lambda p, cc: codec.model.apply(p, cc, method=type(codec.model).decode)
-    )
-    codes_bqt = jnp.moveaxis(codes, 2, 1)  # (1, 8, Tr)
-    wav, dt = timed(dec, args.runs, codec.params, codes_bqt)
-    results["codec_decode_ms"] = dt * 1e3
-    audio_sec = codes.shape[1] * HOP / 24_000
-    results["decode_rtf"] = audio_sec / dt  # real-time factor (>1 = faster)
-
-    # ---------- end-to-end p50 ----------
-    def full(p1, p2, p3, r):
-        r1, r2 = jax.random.split(r)
-        toks = dm.generate(p1, text, tm, proms, pm, r1)[:, :Tr]
-        cc = nar_generate(nar, p2, n_text, a_tm, a_pr, a_pm,
-                          jnp.asarray(toks, jnp.int32), n_rm, r2)
-        return codec.model.apply(
-            p3, jnp.moveaxis(cc, 2, 1), method=type(codec.model).decode
+    if {"nar", "e2e"} & stages:
+        nar = get_model("nar-half")
+        n_resps = jnp.zeros((1, Tr, 8), jnp.int32)
+        n_params = nar.init(
+            rng, a_text, a_tm, a_pr, a_pm, n_resps, n_rm,
+            jnp.zeros((1,), jnp.int32),
         )
 
-    full_j = jax.jit(full)
-    wav, dt = timed(full_j, args.runs, d_params, n_params, codec.params, rng)
-    results["e2e_text_to_wav_p50_ms"] = dt * 1e3
-    results["e2e_audio_seconds"] = audio_sec
+    codes = jnp.zeros((1, Tr, 8), jnp.int32)
+    if "nar" in stages:
+        lvl0 = jax.random.randint(rng, (1, Tr), 0, 1024)
+
+        def nar_fn(p, r):
+            return nar_generate(nar, p, a_text, a_tm, a_pr, a_pm, lvl0, n_rm, r)
+
+        codes, dt = timed(nar_fn, args.runs, n_params, rng)
+        results["nar_stage_ms"] = dt * 1e3
+
+    codec = None
+    if {"codec", "e2e"} & stages:
+        codec = Codec()
+    audio_sec = Tr * HOP / 24_000
+
+    if "codec" in stages:
+        dec = jax.jit(
+            lambda p, cc: codec.model.apply(p, cc, method=type(codec.model).decode)
+        )
+        codes_bqt = jnp.moveaxis(codes, 2, 1)  # (1, 8, Tr)
+        wav, dt = timed(dec, args.runs, codec.params, codes_bqt)
+        results["codec_decode_ms"] = dt * 1e3
+        results["decode_rtf"] = audio_sec / dt  # real-time factor (>1 = faster)
+
+    if "e2e" in stages:
+        def full(p1, p2, p3, r):
+            r1, r2 = jax.random.split(r)
+            toks = dm.generate(p1, text, tm, proms, pm, r1)[:, :Tr]
+            cc = nar_generate(nar, p2, a_text, a_tm, a_pr, a_pm,
+                              jnp.asarray(toks, jnp.int32), n_rm, r2)
+            return codec.model.apply(
+                p3, jnp.moveaxis(cc, 2, 1), method=type(codec.model).decode
+            )
+
+        full_j = jax.jit(full)
+        wav, dt = timed(full_j, args.runs, d_params, n_params, codec.params, rng)
+        results["e2e_text_to_wav_p50_ms"] = dt * 1e3
+        results["e2e_audio_seconds"] = audio_sec
 
     baselines = {
         "d3pm_tokens_per_sec": 211.90,

@@ -128,3 +128,25 @@ def test_engine_multichip_dp_tp_mesh(tmp_path):
     qkv = eng.params["params"]["base"]["block_0"]["attn"]["to_qkv"]["kernel"]
     spec = qkv.sharding.spec
     assert "tp" in str(spec)
+
+
+def test_engine_freeze_filter(tmp_path):
+    """Frozen subtrees receive zero updates (≡ Engine.freeze, engines.py:25-34)."""
+    _, params, loss_fn, batch = make_tiny()
+    eng = Engine(
+        "model", params, loss_fn, OPT_CFG, tmp_path,
+        mesh=build_mesh(1, 1, jax.devices()[:1]),
+        trainable_filter=lambda path: "text_emb" not in path,
+    )
+    before = np.asarray(
+        eng.params["params"]["base"]["text_emb"]["embedding"]
+    ).copy()
+    other_before = np.asarray(
+        eng.params["params"]["base"]["classifier"]["kernel"]
+    ).copy()
+    for i in range(3):
+        eng.train_batch(batch, jax.random.PRNGKey(i))
+    after = np.asarray(eng.params["params"]["base"]["text_emb"]["embedding"])
+    other_after = np.asarray(eng.params["params"]["base"]["classifier"]["kernel"])
+    np.testing.assert_array_equal(before, after)
+    assert np.abs(other_after - other_before).max() > 0

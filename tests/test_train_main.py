@@ -90,3 +90,19 @@ def test_train_resumes_from_checkpoint(tmp_path, data_dir):
 
     engines = load_engines(cfg)
     assert engines.global_step == 2
+
+
+def test_train_main_eval_decode_audio(tmp_path, data_dir):
+    """Eval wav dumps (re-enabled reference eval body) produce hyp/ref files."""
+    from tts_with_diffusion_model_tpu.train.train import main
+
+    cfg_path = _write_cfg(
+        tmp_path, data_dir, "diffusion",
+        extra={"eval_decode_audio": True, "max_val_ar_steps": 8},
+    )
+    cfg = Config.from_cli(argv=[f"yaml={cfg_path}"])
+    main(cfg)
+
+    wavs = list((tmp_path / "logs").rglob("*.wav"))
+    assert any("ref" in str(w) for w in wavs)
+    assert any("hyp" in str(w) for w in wavs)

@@ -121,6 +121,10 @@ class Config(ConfigBase):
     # Python loader when unavailable or for .qnt.pt-only datasets
     use_native_loader: bool = True
 
+    # decode hyp/ref wavs during eval into log_dir/<step>/<name>/{hyp,ref}
+    # (the eval body the reference disabled, ``vall_e/train.py:90-145``)
+    eval_decode_audio: bool = False
+
     @property
     def get_spkr(self):
         return make_spkr_getter(self.spkr_name_getter)

@@ -55,7 +55,9 @@ def warmup_decay_schedule(
     return optax.join_schedules([warm, decay], [warmup_num_steps])
 
 
-def make_optimizer(opt_cfg: dict) -> tuple[optax.GradientTransformation, optax.Schedule]:
+def make_optimizer(
+    opt_cfg: dict, params=None, trainable_filter=None
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
     sched_cfg = opt_cfg["scheduler"]
     schedule = warmup_decay_schedule(
         sched_cfg["warmup_min_lr"],
@@ -67,6 +69,17 @@ def make_optimizer(opt_cfg: dict) -> tuple[optax.GradientTransformation, optax.S
         optax.clip_by_global_norm(opt_cfg.get("gradient_clipping", 1.0)),
         optax.adam(schedule),
     )
+    if trainable_filter is not None:
+        # Freeze support (≡ Engine.freeze/unfreeze, ``engines.py:25-34``):
+        # parameters whose path fails the filter get zero updates.
+        assert params is not None
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(params, sep="/")
+        mask = flax.traverse_util.unflatten_dict(
+            {k: bool(trainable_filter(k)) for k in flat}, sep="/"
+        )
+        tx = optax.multi_transform({True: tx, False: optax.set_to_zero()}, mask)
     accum = opt_cfg.get("gradient_accumulation_steps", 1)
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
@@ -89,11 +102,16 @@ class Engine:
         opt_cfg: dict,
         ckpt_root: Path,
         mesh=None,
+        trainable_filter=None,
     ):
         self.name = name
         self.loss_fn = loss_fn
         self.mesh = mesh if mesh is not None else build_mesh()
-        self.tx, self.schedule = make_optimizer(opt_cfg)
+        from flax import linen as _nn
+
+        self.tx, self.schedule = make_optimizer(
+            opt_cfg, _nn.meta.unbox(init_params), trainable_filter
+        ) if trainable_filter is not None else make_optimizer(opt_cfg)
         self.ckpt_root = Path(ckpt_root)
 
         # Shard params per their flax logical annotations; opt state mirrors.

@@ -150,18 +150,80 @@ def main(cfg: Config | None = None):
     bucket = make_bucket(cfg, model)
     train_dl, subtrain_dl, val_dl = create_train_val_dataloader(cfg, bucket)
 
+    def decode_eval_audio(engines, name, batch):
+        """Hyp/ref wav dumps (≡ the disabled eval body, ``train.py:90-145``):
+        generate with the current model, EnCodec-decode both hypothesis and
+        reference under ``log_dir/<step>/<name>/{hyp,ref}``."""
+        import jax.numpy as jnp
+
+        from ..emb import qnt
+
+        engine = engines["model"]
+        rng = jax.random.PRNGKey(engines.global_step)
+        out_root = Path(cfg.log_dir) / str(engines.global_step) / name
+
+        if cfg.model.startswith("ar"):
+            from ..models.ar import ar_generate
+
+            toks, lens = ar_generate(
+                model, engine.params, jnp.asarray(batch["text"]),
+                jnp.asarray(batch["text_mask"]), jnp.asarray(batch["proms"]),
+                jnp.asarray(batch["prom_mask"]), rng,
+                max_steps=cfg.max_val_ar_steps,
+                sampling_temperature=cfg.sampling_temperature,
+            )
+            hyps = [np.asarray(toks[i, : int(lens[i])])[:, None]
+                    for i in range(toks.shape[0])]
+        elif cfg.model.startswith("nar"):
+            from ..models.nar import nar_generate
+
+            out = nar_generate(
+                model, engine.params, jnp.asarray(batch["text"]),
+                jnp.asarray(batch["text_mask"]), jnp.asarray(batch["proms"]),
+                jnp.asarray(batch["prom_mask"]),
+                jnp.asarray(batch["resp"], jnp.int32),
+                jnp.asarray(batch["resp_mask"]), rng,
+                sampling_temperature=cfg.sampling_temperature,
+            )
+            hyps = [
+                np.asarray(out[i])[: int(batch["resp_mask"][i].sum())]
+                for i in range(out.shape[0])
+            ]
+        else:  # diffusion family
+            out = model.generate(
+                engine.params, jnp.asarray(batch["text"]),
+                jnp.asarray(batch["text_mask"]), jnp.asarray(batch["proms"]),
+                jnp.asarray(batch["prom_mask"]), rng,
+            )
+            hyps = [np.asarray(out[i])[:, None] for i in range(out.shape[0])]
+
+        for i, path in enumerate(batch["path"]):
+            rel = Path(path).name.split(".")[0]
+            n = int(batch["resp_mask"][i].sum())
+            ref = np.asarray(batch["resps"][i][:n])
+            hyp_path = out_root / "hyp" / f"{rel}.wav"
+            ref_path = out_root / "ref" / f"{rel}.wav"
+            hyp_path.parent.mkdir(parents=True, exist_ok=True)
+            ref_path.parent.mkdir(parents=True, exist_ok=True)
+            qnt.decode_to_file(ref, ref_path)
+            if len(hyps[i]) > 0:
+                qnt.decode_to_file(hyps[i], hyp_path)
+
     def run_eval(engines, name, dl):
         """Val-loss eval (re-enabling the intent of ``train.py:90-145``)."""
         engine = engines["model"]
         rng = jax.random.PRNGKey(0)
         losses = []
         loss_fn = jax.jit(make_loss_fn(cfg, model))
+        first_batch = None
         for batch in dl:
             arrays = {
                 k: v for k, v in batch.items() if isinstance(v, np.ndarray)
             }
             loss, _ = loss_fn(engine.params, arrays, rng)
             losses.append(float(loss))
+            if first_batch is None:
+                first_batch = batch
         if losses:
             stats = {
                 "loss": sum(losses) / len(losses),
@@ -169,6 +231,8 @@ def main(cfg: Config | None = None):
                 "name": name,
             }
             _logger.info(f"Eval: {stats}.")
+        if cfg.eval_decode_audio and first_batch is not None:
+            decode_eval_audio(engines, name, first_batch)
         return 0
 
     def eval_fn(engines):
