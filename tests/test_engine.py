@@ -150,3 +150,19 @@ def test_engine_freeze_filter(tmp_path):
     other_after = np.asarray(eng.params["params"]["base"]["classifier"]["kernel"])
     np.testing.assert_array_equal(before, after)
     assert np.abs(other_after - other_before).max() > 0
+
+
+def test_engine_gradient_accumulation(tmp_path):
+    """optax.MultiSteps accumulation: params change only every k steps
+    (reference knob gradient_accumulation_steps, config.py:66)."""
+    _, params, loss_fn, batch = make_tiny()
+    cfg = {**OPT_CFG, "gradient_accumulation_steps": 2}
+    eng = Engine("model", params, loss_fn, cfg, tmp_path,
+                 mesh=build_mesh(1, 1, jax.devices()[:1]))
+    p0 = np.asarray(eng.params["params"]["base"]["classifier"]["kernel"]).copy()
+    eng.train_batch(batch, jax.random.PRNGKey(0))
+    p1 = np.asarray(eng.params["params"]["base"]["classifier"]["kernel"])
+    np.testing.assert_array_equal(p0, p1)  # first micro-step: no update yet
+    eng.train_batch(batch, jax.random.PRNGKey(1))
+    p2 = np.asarray(eng.params["params"]["base"]["classifier"]["kernel"])
+    assert np.abs(p2 - p0).max() > 0  # applied after k micro-steps

@@ -73,11 +73,13 @@ def load_bundle(path: Path) -> tuple[dict, dict, dict, dict]:
 
 
 def main():
+    # from_cli first: it strips key=value args so argparse sees only the path
+    # (same contract as the reference's import-time cfg, SURVEY §5.6).
+    cfg = Config.from_cli()
+
     parser = argparse.ArgumentParser("Save trained model to path.")
     parser.add_argument("path", type=Path)
     args = parser.parse_args()
-
-    cfg = Config.from_cli()
     from .train.train import load_engines
 
     engines = load_engines(cfg)
@@ -89,6 +91,9 @@ def main():
         "num_tokens": cfg.num_tokens,
         "step": engine.global_step,
         "cfg_name": cfg.cfg_name,
+        # carry any architecture overrides so the CLI rebuilds the exact
+        # trained architecture (see __main__.build_model)
+        **(cfg.model_overrides or {}),
     }
     save_bundle(
         args.path,

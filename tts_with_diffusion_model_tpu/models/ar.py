@@ -10,6 +10,7 @@ reference re-runs the full prefix per token with no cache, ``ar.py:155-166``
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -108,6 +109,9 @@ class AR(nn.Module):
         return self.base.decode_step(token, cache)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("model", "max_steps", "sampling_temperature")
+)
 def ar_generate(
     model: AR,
     params,
@@ -119,7 +123,9 @@ def ar_generate(
     max_steps: int = 1000,
     sampling_temperature: float = 1.0,
 ):
-    """Jit-able AR generation: prefill + ``lax.scan`` over decode steps.
+    """AR generation as one compiled program: prefill + ``lax.scan`` decode.
+    Module-level jit (model is a hashable static arg) so compilations cache
+    across calls with the same shapes.
 
     Returns (tokens (B, max_steps), lengths (B,)): tokens after each
     sample's stop token are junk; ``lengths`` gives the pruned length

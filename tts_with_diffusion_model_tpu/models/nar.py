@@ -11,6 +11,7 @@ every level).
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -170,15 +171,12 @@ def nar_generate(
     buf = jnp.zeros((B, Tr, model.n_resp_levels), dtype=jnp.int32)
     buf = buf.at[..., 0].set(resp_level0)
 
-    fwd = jax.jit(
-        lambda p, b, n: model.apply(
-            p, text, text_mask, proms, prom_mask, b, resp_mask, n,
-            method=NAR.forward_level,
-        )
-    )
     out_levels = [resp_level0]
     for n_known in range(1, model.n_resp_levels + 1):
-        logits = fwd(params, buf, jnp.int32(n_known))
+        logits = _forward_level_jit(
+            model, params, text, text_mask, proms, prom_mask, buf, resp_mask,
+            jnp.int32(n_known),
+        )
         rng, sub = jax.random.split(rng)
         sampled = sample_categorical(sub, logits, sampling_temperature)
         sampled = jnp.where(resp_mask > 0, sampled, 0)
@@ -187,3 +185,13 @@ def nar_generate(
             buf = buf.at[..., n_known].set(sampled)
 
     return jnp.stack(out_levels, axis=-1)  # (B, Tr, 8)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _forward_level_jit(model, params, text, tm, proms, pm, buf, rm, n_known):
+    """Module-level jit so compilations cache across nar_generate calls
+    (flax modules are hashable static args; all 7 levels share one program)."""
+    return model.apply(
+        params, text, tm, proms, pm, buf, rm, n_known,
+        method=NAR.forward_level,
+    )
