@@ -223,3 +223,54 @@ def test_full_size_create_is_fast():
     # rows of the cumulative operator still sum to 1
     s = float(d.cum_diag[50] + d.cum_off[50])
     assert abs(s - 1.0) < 1e-5
+
+
+def test_diffusion_overfit_and_recover():
+    """Overfit a tiny D3PM on one sequence, then the reverse sampler must
+    reconstruct it from the all-absorbing start — the diffusion analogue of
+    the reference's one-sample overfit check (``nar.py:149-165``).  Guards
+    against the no-positional-encoding symmetry failure (every position
+    identical from the absorbing start; see models/dit.py denoise)."""
+    import optax
+
+    from tts_with_diffusion_model_tpu.models.diffusion import (
+        DiffusionConfig,
+        DiffusionModel,
+    )
+
+    Vv = 33
+    cfg = DiffusionConfig(
+        n_classes=Vv, d_model=64, n_heads=4, n_layers=2, timesteps=8,
+        resp_len=16, text_len=6, prom_len=8, gen_len=16,
+    )
+    m = DiffusionModel(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = m.init(rng)
+    tgt = jax.random.randint(jax.random.PRNGKey(5), (1, 16), 0, Vv - 1)
+    batch = dict(
+        text=jnp.full((1, 6), 3), text_mask=jnp.ones((1, 6)),
+        proms=jnp.zeros((1, 8, 8), jnp.int32), prom_mask=jnp.ones((1, 8)),
+        resp=tgt, resp_mask=jnp.ones((1, 16)),
+    )
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o, r):
+        (l, _), g = jax.value_and_grad(
+            lambda pp: m.loss(pp, batch, r), has_aux=True
+        )(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    for i in range(400):
+        rng, sub = jax.random.split(rng)
+        params, opt, loss = step(params, opt, sub)
+
+    out = m.generate(
+        params, batch["text"], batch["text_mask"], batch["proms"],
+        batch["prom_mask"], jax.random.PRNGKey(1),
+    )
+    acc = float((out[0] == tgt[0]).mean())
+    assert float(loss) < 0.1, float(loss)
+    assert acc > 0.7, acc

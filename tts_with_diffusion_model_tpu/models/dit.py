@@ -237,8 +237,17 @@ class DiTDenoiser(nn.Module):
 
     def denoise(self, x_t, resp_mask, t, text_cond, text_mask, spkr_cond, prom_mask):
         """One denoiser evaluation.  x_t: (B, Tr) ints; t: (B,).
-        Returns x_0 logits (B, Tr, n_classes) in fp32."""
-        x = self.resps_emb(x_t).astype(self.dtype)
+        Returns x_0 logits (B, Tr, n_classes) in fp32.
+
+        Positional encoding on the noisy sequence is required: from the
+        all-absorbing start state every position is otherwise identical and
+        the denoiser cannot align tokens to the text (the reference defines
+        ``sin_emb2`` for exactly this but leaves its ``add_pe`` call
+        commented out, ``ar_discrete.py:233, 657`` — an intent fix)."""
+        x = self.resps_emb(x_t) + sinusoidal_embedding(
+            jnp.arange(x_t.shape[1])[None], self.d_model
+        )
+        x = x.astype(self.dtype)
         x = x * resp_mask[..., None].astype(self.dtype)
         t_emb = self.time_emb(t).astype(self.dtype)
         for block in self.blocks:
