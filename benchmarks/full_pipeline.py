@@ -45,6 +45,10 @@ def main():
         "--stages", default="d3pm,ar,nar,codec,e2e",
         help="comma-separated subset: d3pm,ar,nar,codec,e2e",
     )
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="cast model params to bf16 for inference (serving precision)",
+    )
     args = parser.parse_args()
     stages = set(args.stages.split(","))
 
@@ -93,6 +97,12 @@ def main():
             rng, a_text, a_tm, a_pr, a_pm, jnp.zeros((1, 4), jnp.int32),
             jnp.ones((1, 4), jnp.float32),
         )
+        if args.bf16:
+            from tts_with_diffusion_model_tpu.utils.precision import (
+                cast_params_bf16,
+            )
+
+            a_params = cast_params_bf16(a_params)
         ar_fn = jax.jit(
             lambda p, r: ar_generate(
                 ar, p, a_text, a_tm, a_pr, a_pm, r, max_steps=steps

@@ -91,6 +91,10 @@ def main():
     parser.add_argument("--nar-temperature", type=float, default=0.2)
     parser.add_argument("--max-ar-steps", type=int, default=1000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--fp32", action="store_true",
+        help="keep fp32 weights (default: bf16 serving precision)",
+    )
     args = parser.parse_args()
 
     from .emb import g2p, qnt
@@ -102,6 +106,12 @@ def main():
     nar_params, nar_meta, _, _ = load_bundle(args.nar_ckpt)
     ar = build_model(ar_meta)
     nar = build_model(nar_meta)
+
+    if not args.fp32:
+        from .utils.precision import cast_params_bf16
+
+        ar_params = cast_params_bf16(ar_params)
+        nar_params = cast_params_bf16(nar_params)
 
     proms = qnt.encode_from_file(args.reference)  # (8, t)
     proms = proms.T  # (t, 8)

@@ -184,7 +184,9 @@ class Engine:
     def _ckpt_dir(self) -> Path:
         return self.ckpt_root / self.name
 
-    def save_checkpoint(self):
+    def save_checkpoint(self, keep: int = 3):
+        import shutil
+
         import orbax.checkpoint as ocp
 
         path = (self._ckpt_dir() / f"step_{self.step:08d}").absolute()
@@ -199,6 +201,12 @@ class Engine:
                 force=True,
             )
         _logger.info(f"Saved checkpoint {path}")
+        # retention: keep the newest ``keep`` step dirs
+        steps = sorted(
+            p for p in self._ckpt_dir().iterdir() if p.name.startswith("step_")
+        )
+        for old in steps[:-keep]:
+            shutil.rmtree(old, ignore_errors=True)
 
     def load_checkpoint(self) -> bool:
         """Auto-resume from the latest checkpoint if present (non-strict:
