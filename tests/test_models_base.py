@@ -198,3 +198,23 @@ def test_nar_train_and_generate(tiny_batch):
     np.testing.assert_array_equal(np.asarray(out[..., 0]), np.asarray(b["resps"][..., 0]))
     # padded positions stay 0 on generated levels
     assert int(out[1, 3:, 1:].sum()) == 0
+
+
+def test_ar_generate_reproducible_with_same_key(tiny_batch):
+    """Fixed-seed sampling determinism (BASELINE parity requirement as
+    defined in DESIGN.md §8: same weights + same key → same tokens)."""
+    from tts_with_diffusion_model_tpu.models import AR
+    from tts_with_diffusion_model_tpu.models.ar import ar_generate
+
+    b = tiny_batch
+    resp = b["resps"][..., 0]
+    rng = jax.random.PRNGKey(7)
+    m = AR(n_tokens=b["V"], d_model=32, n_heads=4, n_layers=2, remat=False,
+           dtype=jnp.float32)
+    params = m.init(rng, b["text"], b["tm"], b["proms"], b["pm"], resp, b["rm"])
+    t1, l1 = ar_generate(m, params, b["text"], b["tm"], b["proms"], b["pm"],
+                         jax.random.PRNGKey(42), max_steps=5)
+    t2, l2 = ar_generate(m, params, b["text"], b["tm"], b["proms"], b["pm"],
+                         jax.random.PRNGKey(42), max_steps=5)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
