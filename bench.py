@@ -22,6 +22,12 @@ BASELINE_TOK_PER_SEC = 211.90  # reference D3PM (README.md:27-30)
 
 
 def main():
+    try:  # persistent compile cache: repeat runs skip the first-compile cost
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
     from tts_with_diffusion_model_tpu.models import get_model
 
     model = get_model("diffusion")

@@ -74,7 +74,7 @@ def main():
     a_pm = jnp.ones((1, Tp), jnp.float32)
 
     dm = d_params = None
-    if {"d3pm", "e2e"} & stages:
+    if {"d3pm", "d3pm_batch", "e2e"} & stages:
         dm = get_model("diffusion")
         c = dm.config
         d_params = dm.init(rng)
@@ -88,6 +88,17 @@ def main():
         d_tokens, dt = timed(gen, args.runs, d_params, rng)
         results["d3pm_tokens_per_sec"] = c.gen_len / dt
         results["d3pm_stage_ms"] = dt * 1e3
+
+    if "d3pm_batch" in stages:
+        # serving throughput: 8 utterances sampled concurrently per chip
+        Bb = 8
+        bt = jnp.broadcast_to(text, (Bb, c.text_len))
+        btm = jnp.broadcast_to(tm, (Bb, c.text_len))
+        bp = jnp.broadcast_to(proms, (Bb, c.prom_len, 8))
+        bpm = jnp.broadcast_to(pm, (Bb, c.prom_len))
+        genb = jax.jit(lambda p, r: dm.generate(p, bt, btm, bp, bpm, r))
+        _, dt = timed(genb, args.runs, d_params, rng)
+        results["d3pm_batch8_tokens_per_sec"] = Bb * c.gen_len / dt
 
     if "ar" in stages:
         # ---------- AR stage (KV-cache decoder) ----------
@@ -147,17 +158,21 @@ def main():
         results["decode_rtf"] = audio_sec / dt  # real-time factor (>1 = faster)
 
     if "e2e" in stages:
-        def full(p1, p2, p3, r):
-            r1, r2 = jax.random.split(r)
-            toks = dm.generate(p1, text, tm, proms, pm, r1)[:, :Tr]
-            cc = nar_generate(nar, p2, a_text, a_tm, a_pr, a_pm,
-                              jnp.asarray(toks, jnp.int32), n_rm, r2)
-            return codec.model.apply(
-                p3, jnp.moveaxis(cc, 2, 1), method=type(codec.model).decode
-            )
+        # Chained separately-compiled stages — the serving execution model
+        # (one program per stage; tokens round-trip as tiny arrays).
+        d_gen = jax.jit(lambda p, r: dm.generate(p, text, tm, proms, pm, r))
+        c_dec = jax.jit(
+            lambda p, cc: codec.model.apply(p, cc, method=type(codec.model).decode)
+        )
 
-        full_j = jax.jit(full)
-        wav, dt = timed(full_j, args.runs, d_params, n_params, codec.params, rng)
+        def full(r):
+            r1, r2 = jax.random.split(r)
+            toks = d_gen(d_params, r1)[:, :Tr]
+            cc = nar_generate(nar, n_params, a_text, a_tm, a_pr, a_pm,
+                              jnp.asarray(toks, jnp.int32), n_rm, r2)
+            return c_dec(codec.params, jnp.moveaxis(cc, 2, 1))
+
+        wav, dt = timed(full, args.runs, rng)
         results["e2e_text_to_wav_p50_ms"] = dt * 1e3
         results["e2e_audio_seconds"] = audio_sec
 
