@@ -278,6 +278,21 @@ class D3PM:
         t_broadcast = t.reshape(t.shape[0], *([1] * (out.ndim - 1)))
         return jnp.where(t_broadcast == 0, tzero_logits, out)
 
+    def p_logits(
+        self, model_logits: jax.Array, t: jax.Array, x_t: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """log p(x_{t-1}|x_t) from x_0-prediction logits (≡ ``p_logits``,
+        ``ar_discrete.py:518-538``): the posterior under the predicted x_0,
+        degenerating to the x_0 logits at t == 0.  Returns
+        (transition logits, pred_x_start_logits)."""
+        pred_x_start_logits = model_logits
+        post = self.q_posterior_logits(
+            pred_x_start_logits, x_t, t, x_start_logits=True
+        )
+        t_broadcast = t.reshape(t.shape[0], *([1] * (post.ndim - 1)))
+        logits = jnp.where(t_broadcast == 0, pred_x_start_logits, post)
+        return logits, pred_x_start_logits
+
     def p_sample(
         self,
         model_logits: jax.Array,  # denoiser x_0 logits (B, W, V)
@@ -288,12 +303,7 @@ class D3PM:
     ) -> jax.Array:
         """Ancestral step x_{t-1} ~ p(x_{t-1}|x_t) (≡ ``:401-420``): posterior
         under the predicted x_0, Gumbel-argmax with no noise at t == 0."""
-        pred_x_start_logits = model_logits
-        post = self.q_posterior_logits(
-            pred_x_start_logits, x_t, t, x_start_logits=True
-        )
-        t_broadcast = t.reshape(t.shape[0], *([1] * (post.ndim - 1)))
-        logits = jnp.where(t_broadcast == 0, pred_x_start_logits, post)
+        logits, _ = self.p_logits(model_logits, t, x_t)
 
         if uniform_noise is None:
             if rng is None:
