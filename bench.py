@@ -30,10 +30,12 @@ def main():
 
     from tts_with_diffusion_model_tpu.models import get_model
 
+    from tts_with_diffusion_model_tpu.utils.precision import cast_params_bf16
+
     model = get_model("diffusion")
     c = model.config
     rng = jax.random.PRNGKey(0)
-    params = model.init(rng)
+    params = cast_params_bf16(model.init(rng))  # serving precision
 
     B = 1
     text = jnp.zeros((B, c.text_len), jnp.int32).at[:, :20].set(5)

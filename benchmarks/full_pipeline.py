@@ -78,6 +78,12 @@ def main():
         dm = get_model("diffusion")
         c = dm.config
         d_params = dm.init(rng)
+        if args.bf16:
+            from tts_with_diffusion_model_tpu.utils.precision import (
+                cast_params_bf16,
+            )
+
+            d_params = cast_params_bf16(d_params)
         text = jnp.zeros((1, c.text_len), jnp.int32).at[:, :Tt].set(5)
         tm = (jnp.arange(c.text_len)[None] < Tt).astype(jnp.float32)
         proms = jnp.zeros((1, c.prom_len, 8), jnp.int32)

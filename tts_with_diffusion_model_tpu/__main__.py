@@ -117,7 +117,9 @@ def main():
     proms = proms.T  # (t, 8)
 
     phones = g2p.encode(args.text)
-    phn_ids = phones_to_ids(phones, phone_symmap)
+    phn_ids = phones_to_ids(phones, phone_symmap, strict=False)
+    if not phn_ids:
+        raise SystemExit("No phones of the input text exist in the model's symmap.")
 
     rng = jax.random.PRNGKey(args.seed)
     rng, r1, r2 = jax.random.split(rng, 3)

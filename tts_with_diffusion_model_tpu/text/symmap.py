@@ -22,15 +22,28 @@ def load_symmap(path: str | Path) -> dict[str, int]:
     return {str(k): int(v) for k, v in json.loads(Path(path).read_text()).items()}
 
 
-def phones_to_ids(phones: list[str], symmap: dict[str, int]) -> list[int]:
-    """Map phones to ids; unknown phones fall back to ``<unk>`` when present,
-    else raise (the reference raises KeyError implicitly, ``__main__.py:61``)."""
+def phones_to_ids(
+    phones: list[str], symmap: dict[str, int], strict: bool = True
+) -> list[int]:
+    """Map phones to ids.  Unknown phones fall back to ``<unk>`` when
+    present; otherwise ``strict=True`` raises (the reference raises KeyError
+    implicitly, ``__main__.py:61``) and ``strict=False`` drops them with a
+    warning (the CLI uses this so a small training symmap still synthesizes)."""
+    import logging
+
     out = []
+    dropped = []
     for p in phones:
         if p in symmap:
             out.append(symmap[p])
         elif "<unk>" in symmap:
             out.append(symmap["<unk>"])
-        else:
+        elif strict:
             raise KeyError(f"Phone {p!r} not in symmap")
+        else:
+            dropped.append(p)
+    if dropped:
+        logging.getLogger(__name__).warning(
+            f"Dropped {len(dropped)} phones not in symmap: {sorted(set(dropped))}"
+        )
     return out
