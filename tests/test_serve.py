@@ -1,0 +1,115 @@
+"""Serving-runtime tests: Synthesizer request path with fixed buckets and
+the stdlib HTTP API (localhost loopback)."""
+
+import http.client
+import io
+import json
+import threading
+import wave
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_with_diffusion_model_tpu.export import save_bundle
+from tts_with_diffusion_model_tpu.models import AR, NAR
+
+V = 1024
+
+
+@pytest.fixture(scope="module")
+def zoo(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve_zoo")
+    rng = jax.random.PRNGKey(0)
+    phone_symmap = {p: i for i, p in enumerate(
+        ["<s>", "</s>", "_", "M", "EY1", "K", "S", "AH1", "N", "OY1", "Z",
+         "T", "EH1", "W", "AO1", "R", "P", "DH", "AH0", "HH", "IY1", "UW1",
+         "AY1", "B", "D", "G", "L"], 1)}
+    spkr = {"ref": 0}
+
+    ar = AR(V, d_model=32, n_heads=4, n_layers=2, remat=False, dtype=jnp.float32)
+    t = jnp.zeros((1, 4), jnp.int32)
+    m1 = jnp.ones((1, 4))
+    pr = jnp.zeros((1, 6, 8), jnp.int32)
+    pm = jnp.ones((1, 6))
+    ar_params = ar.init(rng, t, m1, pr, pm, jnp.zeros((1, 5), jnp.int32),
+                        jnp.ones((1, 5)))
+    save_bundle(root / "ar", ar_params,
+                {"model": "ar", "num_tokens": V, "d_model": 32, "n_heads": 4,
+                 "n_layers": 2}, phone_symmap, spkr)
+
+    nar = NAR(V, d_model=32, n_heads=4, n_layers=2, remat=False, dtype=jnp.float32)
+    nar_params = nar.init(rng, t, m1, pr, pm, jnp.zeros((1, 5, 8), jnp.int32),
+                          jnp.ones((1, 5)), jnp.zeros((1,), jnp.int32))
+    save_bundle(root / "nar", nar_params,
+                {"model": "nar", "num_tokens": V, "d_model": 32, "n_heads": 4,
+                 "n_layers": 2}, phone_symmap, spkr)
+
+    from tts_with_diffusion_model_tpu.audio.wavio import write_wav
+
+    sr = 24_000
+    tt = np.linspace(0, 0.15, int(sr * 0.15), endpoint=False)
+    write_wav(root / "ref.wav", 0.3 * np.sin(2 * np.pi * 220 * tt), sr)
+    return root
+
+
+@pytest.fixture(scope="module")
+def synth(zoo):
+    from tts_with_diffusion_model_tpu.serve import Synthesizer
+
+    return Synthesizer(
+        zoo / "ar", zoo / "nar",
+        text_len=24, prom_len=24, max_ar_steps=8, bf16=False,
+    )
+
+
+def test_synthesize_returns_wav(zoo, synth):
+    wav, sr = synth.synthesize("make some noise", zoo / "ref.wav", seed=1)
+    assert sr == 24_000
+    assert wav.ndim == 1 and wav.shape[0] > 0
+
+
+def test_synthesize_shape_stable_no_recompile(zoo, synth):
+    """Different text lengths map to the same bucket shapes (same compiled
+    programs): just verify both succeed and outputs differ by seed."""
+    w1, _ = synth.synthesize("one", zoo / "ref.wav", seed=1)
+    w2, _ = synth.synthesize("a much longer sentence to pad", zoo / "ref.wav",
+                             seed=2)
+    assert w1.shape[0] > 0 and w2.shape[0] > 0
+
+
+def test_http_api(zoo, synth):
+    from tts_with_diffusion_model_tpu.serve import make_server
+
+    server = make_server(synth, "127.0.0.1", 0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200
+        assert json.loads(r.read())["status"] == "ok"
+
+        body = json.dumps(
+            {"text": "make some noise", "reference": str(zoo / "ref.wav")}
+        )
+        conn.request("POST", "/tts", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        data = r.read()
+        with wave.open(io.BytesIO(data)) as f:
+            assert f.getframerate() == 24_000
+            assert f.getnframes() > 0
+
+        # error path: bad reference
+        conn.request("POST", "/tts", body=json.dumps(
+            {"text": "x", "reference": "/nonexistent.wav"}))
+        r = conn.getresponse()
+        assert r.status == 500
+        assert "error" in json.loads(r.read())
+    finally:
+        server.shutdown()
