@@ -274,3 +274,69 @@ def test_diffusion_overfit_and_recover():
     acc = float((out[0] == tgt[0]).mean())
     assert float(loss) < 0.1, float(loss)
     assert acc > 0.7, acc
+
+
+def test_strided_posterior_matches_onestep_at_stride1():
+    """q_posterior_logits_strided(s = t-1) must equal the one-step posterior."""
+    d = make()
+    logits = jax.random.normal(jax.random.PRNGKey(2), (1, 3, V))
+    xt = jnp.array([[8, 3, 8]])
+    t = jnp.array([5])
+    got = d.q_posterior_logits_strided(logits, xt, t, t - 1)
+    want = d.q_posterior_logits(logits, xt, t, x_start_logits=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_interval_diag_is_product_of_onesteps():
+    d = make()
+    betas = np.asarray(d.betas)
+    a = float(d._interval_diag(jnp.array([2]), jnp.array([5]))[0])
+    expect = float(np.prod(1 - betas[3:6]))
+    np.testing.assert_allclose(a, expect, rtol=1e-5)
+
+
+def test_strided_generation_recovers_overfit_sequence():
+    """After overfitting, stride-2 sampling (half the steps) still recovers
+    most of the target sequence."""
+    import optax
+
+    from tts_with_diffusion_model_tpu.models.diffusion import (
+        DiffusionConfig,
+        DiffusionModel,
+    )
+
+    Vv = 33
+    cfg = DiffusionConfig(
+        n_classes=Vv, d_model=64, n_heads=4, n_layers=2, timesteps=8,
+        resp_len=16, text_len=6, prom_len=8, gen_len=16,
+    )
+    m = DiffusionModel(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = m.init(rng)
+    tgt = jax.random.randint(jax.random.PRNGKey(5), (1, 16), 0, Vv - 1)
+    batch = dict(
+        text=jnp.full((1, 6), 3), text_mask=jnp.ones((1, 6)),
+        proms=jnp.zeros((1, 8, 8), jnp.int32), prom_mask=jnp.ones((1, 8)),
+        resp=tgt, resp_mask=jnp.ones((1, 16)),
+    )
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o, r):
+        (l, _), g = jax.value_and_grad(
+            lambda pp: m.loss(pp, batch, r), has_aux=True
+        )(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    for i in range(400):
+        rng, sub = jax.random.split(rng)
+        params, opt, _ = step(params, opt, sub)
+
+    out = m.generate(
+        params, batch["text"], batch["text_mask"], batch["proms"],
+        batch["prom_mask"], jax.random.PRNGKey(1), stride=2,
+    )
+    acc = float((out[0] == tgt[0]).mean())
+    assert acc > 0.6, acc

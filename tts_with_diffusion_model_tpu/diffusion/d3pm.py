@@ -278,6 +278,66 @@ class D3PM:
         t_broadcast = t.reshape(t.shape[0], *([1] * (out.ndim - 1)))
         return jnp.where(t_broadcast == 0, tzero_logits, out)
 
+    # ---------------- strided (skip-step) sampling ----------------
+
+    def _interval_diag(self, s: jax.Array, t: jax.Array) -> jax.Array:
+        """Diagonal coefficient of Q_{(s,t]} = Π_{u∈(s,t]} Q_u.
+
+        The structured families stay rank-one under products, so the interval
+        operator is ``a·I + (1-a)·M`` with ``a = c_t / c_s`` (``c_{-1}=1``).
+        At s = t-1 this reduces to the one-step ``1-β_t``.
+        """
+        cs = jnp.where(s < 0, 1.0, self.cum_diag[jnp.maximum(s, 0)])
+        return self.cum_diag[t] / cs
+
+    def q_posterior_logits_strided(
+        self,
+        x_start_logits: jax.Array,  # (B, W, V)
+        x_t: jax.Array,             # (B, W)
+        t: jax.Array,               # (B,)
+        s: jax.Array,               # (B,) target step, s < t
+    ) -> jax.Array:
+        """log q(x_s | x_t, x_0-logits) for an arbitrary stride t→s.
+
+        Generalizes ``q_posterior_logits`` (s = t-1) using the closed-form
+        interval transition — the basis of skip-step sampling, which the
+        reference's dense-matrix formulation would need O(V³) products for.
+        Structured transitions only.
+        """
+        assert self.transition != "dense", "strided sampling needs structured Q"
+        a = self._interval_diag(s, t)[:, None, None]
+        row = a * self._onehot(x_t)
+        if self.transition == "absorbing":
+            is_absorb = (x_t == self.absorbing_state).astype(jnp.float32)[..., None]
+            fact1 = row + (1.0 - a) * is_absorb
+        else:
+            fact1 = row + (1.0 - a) / self.num_classes
+        fact2 = self._cum_mix(s, jax.nn.softmax(x_start_logits, axis=-1))
+        out = jnp.log(fact1 + self.eps) + jnp.log(fact2 + self.eps)
+        t_broadcast = t.reshape(t.shape[0], *([1] * (out.ndim - 1)))
+        return jnp.where(t_broadcast == 0, x_start_logits, out)
+
+    def p_sample_strided(
+        self,
+        model_logits: jax.Array,
+        t: jax.Array,
+        s: jax.Array,
+        x_t: jax.Array,
+        uniform_noise: jax.Array | None = None,
+        rng: jax.Array | None = None,
+    ) -> jax.Array:
+        """Ancestral step x_s ~ p(x_s|x_t) skipping ``t-s`` process steps."""
+        logits = self.q_posterior_logits_strided(model_logits, x_t, t, s)
+        if uniform_noise is None:
+            if rng is None:
+                raise ValueError("p_sample_strided needs uniform_noise or rng")
+            uniform_noise = jax.random.uniform(rng, logits.shape, dtype=jnp.float32)
+        noise = jnp.clip(uniform_noise, jnp.finfo(jnp.float32).tiny, 1.0)
+        gumbel = -jnp.log(-jnp.log(noise))
+        nonzero = (t != 0).astype(logits.dtype)
+        nonzero = nonzero.reshape(t.shape[0], *([1] * (logits.ndim - 1)))
+        return jnp.argmax(logits + nonzero * gumbel, axis=-1)
+
     def p_logits(
         self, model_logits: jax.Array, t: jax.Array, x_t: jax.Array
     ) -> tuple[jax.Array, jax.Array]:

@@ -157,8 +157,14 @@ class DiffusionModel:
         prom_mask,
         rng: jax.Array,
         gen_len: int | None = None,
+        stride: int = 1,
     ):
         """Reverse D3PM as one ``lax.scan`` (≡ ``generate_audio``, ``:696-780``).
+
+        ``stride > 1`` skips process steps using the closed-form interval
+        posterior (``d3pm.p_sample_strided``): ``stride=3`` runs 33 denoiser
+        evaluations instead of 99 for ~3× lower latency (quality/speed knob
+        the reference's dense-matrix formulation can't offer cheaply).
 
         Returns (B, resp_len) int tokens; positions ≥ gen_len are 0.
         """
@@ -175,19 +181,26 @@ class DiffusionModel:
             params, text, text_mask, proms, prom_mask, method=DiTDenoiser.conds
         )
 
-        ts = jnp.arange(c.timesteps - 1, 0, -1)  # 99 .. 1
+        ts_list = list(range(c.timesteps - 1, 0, -stride))  # 99, 99-k, ...
+        ss_list = ts_list[1:] + [0]
+        ts = jnp.asarray(ts_list, jnp.int32)
+        ss = jnp.asarray(ss_list, jnp.int32)
         rngs = jax.random.split(rng, ts.shape[0])
 
         def step(x_t, inp):
-            t_scalar, r = inp
+            t_scalar, s_scalar, r = inp
             t = jnp.full((B,), t_scalar, jnp.int32)
+            s = jnp.full((B,), s_scalar, jnp.int32)
             logits = self.denoiser.apply(
                 params, x_t, rm, t, text_cond, text_mask, spkr_cond, prom_mask,
                 method=DiTDenoiser.denoise,
             )
-            x_prev = self.d3pm.p_sample(logits, t, x_t, rng=r)
+            if stride == 1:
+                x_prev = self.d3pm.p_sample(logits, t, x_t, rng=r)
+            else:
+                x_prev = self.d3pm.p_sample_strided(logits, t, s, x_t, rng=r)
             x_prev = (x_prev * rm).astype(jnp.int32)
             return x_prev, None
 
-        x, _ = jax.lax.scan(step, x, (ts, rngs))
+        x, _ = jax.lax.scan(step, x, (ts, ss, rngs))
         return x
