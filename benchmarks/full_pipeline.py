@@ -49,6 +49,10 @@ def main():
         "--bf16", action="store_true",
         help="cast model params to bf16 for inference (serving precision)",
     )
+    parser.add_argument(
+        "--stride", type=int, default=1,
+        help="D3PM sampler stride (skip-step sampling)",
+    )
     args = parser.parse_args()
     stages = set(args.stages.split(","))
 
@@ -90,9 +94,15 @@ def main():
         pm = (jnp.arange(c.prom_len)[None] < Tp).astype(jnp.float32)
 
     if "d3pm" in stages:
-        gen = jax.jit(lambda p, r: dm.generate(p, text, tm, proms, pm, r))
+        gen = jax.jit(
+            lambda p, r: dm.generate(p, text, tm, proms, pm, r,
+                                     stride=args.stride)
+        )
         d_tokens, dt = timed(gen, args.runs, d_params, rng)
-        results["d3pm_tokens_per_sec"] = c.gen_len / dt
+        key = "d3pm_tokens_per_sec" if args.stride == 1 else (
+            f"d3pm_stride{args.stride}_tokens_per_sec"
+        )
+        results[key] = c.gen_len / dt
         results["d3pm_stage_ms"] = dt * 1e3
 
     if "d3pm_batch" in stages:

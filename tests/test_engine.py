@@ -166,3 +166,18 @@ def test_engine_gradient_accumulation(tmp_path):
     eng.train_batch(batch, jax.random.PRNGKey(1))
     p2 = np.asarray(eng.params["params"]["base"]["classifier"]["kernel"])
     assert np.abs(p2 - p0).max() > 0  # applied after k micro-steps
+
+
+def test_engine_diagnose(tmp_path):
+    from tts_with_diffusion_model_tpu.utils.diagnostic import Diagnostic
+
+    _, params, loss_fn, batch = make_tiny()
+    eng = Engine("model", params, loss_fn, OPT_CFG, tmp_path,
+                 mesh=build_mesh(1, 1, jax.devices()[:1]))
+    diag = Diagnostic(log_dir=tmp_path)
+    eng.diagnose(batch, jax.random.PRNGKey(0), diag)
+    df = diag.table()
+    names = set(df["name"])
+    assert any(n.startswith("grad.") for n in names)
+    assert any(n.startswith("param.") for n in names)
+    assert (df["rms_p50"] >= 0).all()

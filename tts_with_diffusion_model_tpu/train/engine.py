@@ -179,6 +179,25 @@ class Engine:
             out[k] = float(v) if hasattr(v, "item") or jnp.isscalar(v) else v
         return out
 
+    def diagnose(self, batch: dict, rng: jax.Array, diagnostic):
+        """Feed one batch's gradients + current params into a Diagnostic
+        (the hook-based collection the reference does in
+        ``utils/diagnostic.py:81-111``, reconstructed from the grad pytree)."""
+        if not hasattr(self, "_grad_fn"):
+            self._grad_fn = jax.jit(
+                lambda p, b, r: jax.grad(
+                    lambda pp: self.loss_fn(pp, b, r)[0]
+                )(p)
+            )
+        arrays = {
+            k: v for k, v in batch.items()
+            if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1
+        }
+        grads = self._grad_fn(self.params, arrays, rng)
+        diagnostic.observe_grads(grads)
+        diagnostic.observe_params(self.params)
+        return diagnostic
+
     # ---------------- checkpointing (≡ ``engines.py:95-107``) ----------------
 
     def _ckpt_dir(self) -> Path:

@@ -20,7 +20,6 @@ import numpy as np
 from ..config import Config, cfg as _cfg_proxy
 from ..data.dataset import BucketSpec, create_train_val_dataloader
 from ..models import get_model
-from ..models.diffusion import DiffusionModel
 from ..utils import setup_logging
 from ..utils.distributed import init_distributed
 from . import trainer
