@@ -390,3 +390,12 @@ def create_train_val_dataloader(cfg, bucket: BucketSpec | None = None):
         subtrain_dataset, cfg.eval_batch_size, bucket, training=False
     )
     return train_dl, subtrain_dl, val_dl
+
+
+if __name__ == "__main__":
+    # Smoke entry (≡ ``data.py:288-291``): build dataloaders, print sample 0.
+    from ..config import Config
+
+    _cfg = Config.from_cli()
+    _train_dl, _subtrain_dl, _val_dl = create_train_val_dataloader(_cfg)
+    print(_train_dl.dataset[0])
