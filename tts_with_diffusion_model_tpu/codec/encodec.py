@@ -57,6 +57,18 @@ class EncodecModel(nn.Module):
         z = self.quantizer.decode(codes)
         return self.decoder(z)
 
+    # ---- training-path methods (used by codec/losses.py) ----
+
+    def encode_latents(self, wav: jax.Array) -> jax.Array:
+        return self.encoder(wav)
+
+    def quantize_latents(self, z: jax.Array, num_quantizers: int = 8):
+        codes = self.quantizer.encode(z, num_quantizers)
+        return self.quantizer.decode(codes), codes
+
+    def decode_latents(self, z: jax.Array) -> jax.Array:
+        return self.decoder(z)
+
     def __call__(self, wav: jax.Array, num_quantizers: int = 8):
         codes = self.encode(wav, num_quantizers)
         return self.decode(codes), codes
