@@ -24,16 +24,17 @@ import yaml
 
 def _coerce(value: str, target_type: Any):
     """Coerce a CLI string to the declared dataclass field type."""
+    if value in ("null", "None", "~"):
+        return None
     if target_type in (None, Any):
         return yaml.safe_load(value)
-    origin = getattr(target_type, "__origin__", None)
-    # Optional[X] / unions: try the non-None members in order.
-    args = getattr(target_type, "__args__", ())
-    if origin is None and args:
-        origin = target_type
-    if str(target_type).startswith(("typing.Optional", "typing.Union")) or (
-        origin is not None and str(origin) in ("typing.Union",)
-    ):
+    import types
+    import typing
+
+    origin = typing.get_origin(target_type)
+    args = typing.get_args(target_type)
+    # Optional[X] / X | None unions: try the non-None members in order.
+    if origin in (typing.Union, types.UnionType):
         if value in ("null", "None", "~"):
             return None
         for a in args:
