@@ -255,3 +255,71 @@ def test_converter_structural_roundtrip(tmp_path):
     wav = jnp.zeros((1, HOP * 3, 1))
     out, codes = model.apply(converted, wav)
     assert codes.shape == (1, 8, 3)
+
+
+def test_composed_encoder_stack_matches_torch():
+    """Composition-level converter check: a mini SEANet-style stack
+    (causal conv → resblock with conv shortcut → strided down conv → 2-layer
+    residual LSTM → out conv) built in torch with weight_norm must match the
+    Flax encoder modules through the converted weights end-to-end."""
+    import torch.nn.functional as tF
+
+    from tts_with_diffusion_model_tpu.codec.seanet import (
+        ResidualLSTM,
+        SEANetResnetBlock,
+        StreamableConv1d,
+    )
+
+    torch.manual_seed(1)
+    C0, C1, R, T = 1, 4, 2, 64
+
+    conv_in = tnn.utils.weight_norm(tnn.Conv1d(C0, C1, 7))
+    blk1 = tnn.utils.weight_norm(tnn.Conv1d(C1, C1 // 2, 3))
+    blk2 = tnn.utils.weight_norm(tnn.Conv1d(C1 // 2, C1, 1))
+    shortcut = tnn.utils.weight_norm(tnn.Conv1d(C1, C1, 1))
+    down = tnn.utils.weight_norm(tnn.Conv1d(C1, 2 * C1, 2 * R, stride=R))
+    lstm = tnn.LSTM(2 * C1, 2 * C1, num_layers=2)
+    conv_out = tnn.utils.weight_norm(tnn.Conv1d(2 * C1, 3, 7))
+
+    x = torch.randn(1, C0, T)
+    with torch.no_grad():
+        h = conv_in(_causal_pad_torch(x, 7, 1))
+        r = blk2(_causal_pad_torch(tF.elu(
+            blk1(_causal_pad_torch(tF.elu(h), 3, 1))), 1, 1))
+        h = shortcut(_causal_pad_torch(h, 1, 1)) + r
+        h = down(_causal_pad_torch(tF.elu(h), 2 * R, R))
+        y_l, _ = lstm(h.permute(2, 0, 1))
+        h = h + y_l.permute(1, 2, 0)
+        y_t = conv_out(_causal_pad_torch(tF.elu(h), 7, 1)).numpy()
+
+    def conv_sd(mod, name):
+        return {
+            f"{name}.conv.weight_v": mod.weight_v.detach().numpy(),
+            f"{name}.conv.weight_g": mod.weight_g.detach().numpy(),
+            f"{name}.conv.bias": mod.bias.detach().numpy(),
+        }
+
+    from tts_with_diffusion_model_tpu.codec.convert import _conv, _lstm
+
+    sd = {}
+    for mod, name in [(conv_in, "ci"), (blk1, "b1"), (blk2, "b2"),
+                      (shortcut, "sc"), (down, "dn"), (conv_out, "co")]:
+        sd.update(conv_sd(mod, name))
+    sd.update({f"l.lstm.{k}": v.detach().numpy()
+               for k, v in lstm.named_parameters()})
+
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 1))
+    h = StreamableConv1d(C0, C1, 7).apply({"params": _conv(sd, "ci")}, xj)
+    blk_params = {"params": {"conv1": _conv(sd, "b1"), "conv2": _conv(sd, "b2"),
+                             "shortcut": _conv(sd, "sc")}}
+    h = SEANetResnetBlock(C1).apply(blk_params, h)
+    h = jax.nn.elu(h)
+    h = StreamableConv1d(C1, 2 * C1, 2 * R, stride=R).apply(
+        {"params": _conv(sd, "dn")}, h)
+    h = ResidualLSTM(2 * C1).apply({"params": _lstm(sd, "l")}, h)
+    h = jax.nn.elu(h)
+    y_j = StreamableConv1d(2 * C1, 3, 7).apply({"params": _conv(sd, "co")}, h)
+
+    np.testing.assert_allclose(
+        np.asarray(y_j).transpose(0, 2, 1), y_t, atol=5e-5
+    )

@@ -181,3 +181,36 @@ def test_engine_diagnose(tmp_path):
     assert any(n.startswith("grad.") for n in names)
     assert any(n.startswith("param.") for n in names)
     assert (df["rms_p50"] >= 0).all()
+
+
+def test_engines_multi_engine_step(tmp_path):
+    """Engines with two engines steps both and merges stats (the reference's
+    multi-engine GAN support, engines.py:126-166)."""
+    from tts_with_diffusion_model_tpu.train.engine import Engines
+
+    _, p1, loss_fn, batch = make_tiny()
+    _, p2, _, _ = make_tiny()
+    mesh = build_mesh(1, 1, jax.devices()[:1])
+    engines = Engines(
+        gen=Engine("gen", p1, loss_fn, OPT_CFG, tmp_path, mesh=mesh),
+        dis=Engine("dis", p2, loss_fn, OPT_CFG, tmp_path, mesh=mesh),
+    )
+
+    class _Cfg:
+        seed = 0
+        save_on_oom = True
+
+    engines.setup(_Cfg())
+    stats = engines.step(batch=batch)
+    assert "gen.loss" in stats and "dis.loss" in stats
+    assert stats["global_step"] == 1
+    assert "elapsed_time" in stats
+
+    engines.save_checkpoint()
+    engines2 = Engines(
+        gen=Engine("gen", p1, loss_fn, OPT_CFG, tmp_path, mesh=mesh),
+        dis=Engine("dis", p2, loss_fn, OPT_CFG, tmp_path, mesh=mesh),
+    )
+    engines2.setup(_Cfg())
+    engines2.load_checkpoint()
+    assert engines2.global_step == 1
