@@ -159,6 +159,43 @@ def main():
         codes, dt = timed(nar_fn, args.runs, n_params, rng)
         results["nar_stage_ms"] = dt * 1e3
 
+    if "train" in stages:
+        # D3PM training step throughput at production size (sampled-t mode,
+        # B=24 ≈ the reference's LibriTTS batch) — the "training time"
+        # headline (ref: 280 h) reduces to steps/sec × total steps.
+        from tts_with_diffusion_model_tpu.train.engine import Engine
+
+        if dm is None:
+            dm = get_model("diffusion")
+            c = dm.config
+            d_params = dm.init(rng)
+        B = 24
+        rng_np = np.random.default_rng(0)
+        tbatch = dict(
+            text=rng_np.integers(1, 200, (B, c.text_len)).astype(np.int32),
+            text_mask=np.ones((B, c.text_len), np.float32),
+            proms=rng_np.integers(0, 1024, (B, c.prom_len, 8)).astype(np.int32),
+            prom_mask=np.ones((B, c.prom_len), np.float32),
+            resp=rng_np.integers(0, 1024, (B, c.resp_len)).astype(np.int32),
+            resp_mask=np.ones((B, c.resp_len), np.float32),
+        )
+        opt_cfg = {
+            "scheduler": {"warmup_min_lr": 1e-9, "warmup_max_lr": 1e-5,
+                          "warmup_num_steps": 100, "total_num_steps": 100000},
+            "gradient_clipping": 1.0,
+            "gradient_accumulation_steps": 1,
+        }
+        eng = Engine("model", d_params, lambda p, b, r: dm.loss(p, b, r),
+                     opt_cfg, "/tmp/bench_ckpt")
+        eng.train_batch(tbatch, rng)  # compile
+        t0 = time.perf_counter()
+        n = max(args.runs, 3)
+        for i in range(n):
+            eng.train_batch(tbatch, jax.random.PRNGKey(i))
+        dt = (time.perf_counter() - t0) / n
+        results["d3pm_train_steps_per_sec"] = 1.0 / dt
+        results["d3pm_train_utts_per_sec"] = B / dt
+
     codec = None
     if {"codec", "e2e"} & stages:
         codec = Codec()

@@ -121,13 +121,23 @@ class Engine:
         # is only needed to derive shardings here.
         from flax import linen as nn
 
-        self.param_sharding = param_shardings(self.mesh, init_params)
         unboxed = nn.meta.unbox(init_params)
-        self.params = jax.tree.map(
-            lambda x, s: jax.device_put(jnp.asarray(x).copy(), s),
-            unboxed,
-            self.param_sharding,
-        )
+        if self.mesh.size > 1:
+            self.param_sharding = param_shardings(self.mesh, init_params)
+            self.params = jax.tree.map(
+                lambda x, s: jax.device_put(jnp.asarray(x).copy(), s),
+                unboxed,
+                self.param_sharding,
+            )
+        else:
+            # Single-device mesh: plain placement.  (Committing with a 1×1
+            # NamedSharding makes jit outputs come back SingleDeviceSharding,
+            # so the second step recompiles — a ~2 min tax on TPU.)
+            dev = self.mesh.devices.flat[0]
+            self.param_sharding = None
+            self.params = jax.tree.map(
+                lambda x: jax.device_put(jnp.asarray(x).copy(), dev), unboxed
+            )
         # optimizer moments are created as zeros_like(params) and inherit
         # the param shardings.
         self.opt_state = self.tx.init(self.params)
@@ -164,8 +174,9 @@ class Engine:
         return float(self.schedule(self.step))
 
     def train_batch(self, batch: dict, rng: jax.Array) -> dict:
+        dst = self._bsh if self.mesh.size > 1 else self.mesh.devices.flat[0]
         arrays = {
-            k: jax.device_put(v, self._bsh)
+            k: jax.device_put(v, dst)
             for k, v in batch.items()
             if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1
         }
