@@ -187,7 +187,11 @@ def main():
         }
         eng = Engine("model", d_params, lambda p, b, r: dm.loss(p, b, r),
                      opt_cfg, "/tmp/bench_ckpt")
-        eng.train_batch(tbatch, rng)  # compile
+        # Two warmup steps: the first compiles with default input layouts,
+        # the second recompiles once against XLA's preferred output layouts
+        # (steady state from step 3).
+        eng.train_batch(tbatch, rng)
+        eng.train_batch(tbatch, rng)
         t0 = time.perf_counter()
         n = max(args.runs, 3)
         for i in range(n):

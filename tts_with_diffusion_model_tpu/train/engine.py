@@ -92,7 +92,13 @@ class LossFn(Protocol):
 
 
 class Engine:
-    """One model's training state + pjit-compiled step."""
+    """One model's training state + pjit-compiled step.
+
+    Compile behavior on TPU: the first step compiles with default input
+    layouts and XLA may hand back donated outputs in its preferred layouts,
+    so the *second* step triggers one more compile; steady state from step
+    three.  Benchmarks should warm up two steps.
+    """
 
     def __init__(
         self,
