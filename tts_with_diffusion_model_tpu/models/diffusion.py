@@ -180,6 +180,10 @@ class DiffusionModel:
         text_cond, spkr_cond = self.denoiser.apply(
             params, text, text_mask, proms, prom_mask, method=DiTDenoiser.conds
         )
+        # conditioning K/V hoisted out of the reverse loop (timestep-constant)
+        kv_list = self.denoiser.apply(
+            params, text_cond, spkr_cond, method=DiTDenoiser.cond_kv
+        )
 
         ts_list = list(range(c.timesteps - 1, 0, -stride))  # 99, 99-k, ...
         ss_list = ts_list[1:] + [0]
@@ -192,8 +196,8 @@ class DiffusionModel:
             t = jnp.full((B,), t_scalar, jnp.int32)
             s = jnp.full((B,), s_scalar, jnp.int32)
             logits = self.denoiser.apply(
-                params, x_t, rm, t, text_cond, text_mask, spkr_cond, prom_mask,
-                method=DiTDenoiser.denoise,
+                params, x_t, rm, t, kv_list, text_mask, prom_mask,
+                method=DiTDenoiser.denoise_with_kv,
             )
             if stride == 1:
                 x_prev = self.d3pm.p_sample(logits, t, x_t, rng=r)

@@ -63,34 +63,42 @@ class Mlp(nn.Module):
 
 
 class MHA(nn.Module):
-    """Projection + dense attention, mirroring ``nn.MultiheadAttention``."""
+    """Projection + dense attention, mirroring ``nn.MultiheadAttention``.
+
+    ``kv()`` exposes the key/value projections separately so constant
+    conditioning K/V can be computed once and reused across all diffusion
+    timesteps (the reference recomputes them inside the timestep loop)."""
 
     d_model: int
     n_heads: int
 
-    @nn.compact
-    def __call__(self, q_in, kv_in, q_mask=None, kv_mask=None):
-        d_head = self.d_model // self.n_heads
+    def setup(self):
+        init = nn.with_logical_partitioning(
+            nn.initializers.lecun_normal(), (EMBED, HEADS)
+        )
+        out_init = nn.with_logical_partitioning(
+            nn.initializers.lecun_normal(), (HEADS, EMBED)
+        )
+        self.q = nn.Dense(self.d_model, kernel_init=init)
+        self.k = nn.Dense(self.d_model, kernel_init=init)
+        self.v = nn.Dense(self.d_model, kernel_init=init)
+        self.out = nn.Dense(self.d_model, kernel_init=out_init)
 
-        def proj(x, name, logical):
-            return nn.Dense(
-                self.d_model,
-                kernel_init=nn.with_logical_partitioning(
-                    nn.initializers.lecun_normal(), logical
-                ),
-                name=name,
-            )(x)
+    def _heads(self, t):
+        return t.reshape(*t.shape[:-1], self.n_heads, self.d_model // self.n_heads)
 
-        q = proj(q_in, "q", (EMBED, HEADS))
-        k = proj(kv_in, "k", (EMBED, HEADS))
-        v = proj(kv_in, "v", (EMBED, HEADS))
+    def kv(self, kv_in):
+        return self._heads(self.k(kv_in)), self._heads(self.v(kv_in))
 
-        def heads(t):
-            return t.reshape(*t.shape[:-1], self.n_heads, d_head)
-
-        o = cross_attention(heads(q), heads(k), heads(v), q_mask, kv_mask)
+    def attend(self, q_in, k, v, q_mask=None, kv_mask=None):
+        q = self._heads(self.q(q_in))
+        o = cross_attention(q, k, v, q_mask, kv_mask)
         o = o.reshape(*o.shape[:-2], self.d_model)
-        return proj(o, "out", (HEADS, EMBED))
+        return self.out(o)
+
+    def __call__(self, q_in, kv_in, q_mask=None, kv_mask=None):
+        k, v = self.kv(kv_in)
+        return self.attend(q_in, k, v, q_mask, kv_mask)
 
 
 class EncoderLayer(nn.Module):
@@ -128,45 +136,61 @@ class CondTower(nn.Module):
 
 
 class DiTBlock(nn.Module):
-    """Self-attn + dual cross-attn + FiLM(t) + MLP (≡ ``ar_discrete.py:98-161``)."""
+    """Self-attn + dual cross-attn + FiLM(t) + MLP (≡ ``ar_discrete.py:98-161``).
+
+    ``cross_kv`` precomputes the (constant) conditioning K/V once; the
+    per-timestep ``apply_step`` consumes them — hoisting 4 projection
+    matmuls per block out of the 99-step reverse loop."""
 
     d_model: int
     n_heads: int
     mlp_ratio: float = 4.0
 
-    @nn.compact
-    def __call__(self, x, mask, text_cond, text_mask, spkr_cond, spkr_mask, t_emb):
-        m = mask[..., None].astype(x.dtype)
-        x = x * m
-
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        x = x + MHA(self.d_model, self.n_heads, name="attn")(h, h, mask, mask)
-
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        ct = MHA(self.d_model, self.n_heads, name="cross_attn")(
-            h, text_cond, mask, text_mask
-        )
-        h2 = nn.LayerNorm(epsilon=1e-6, name="norm22")(x)
-        cs = MHA(self.d_model, self.n_heads, name="cross_attn2")(
-            h2, spkr_cond, mask, spkr_mask
-        )
-        x = x + ct + cs
-
-        # FiLM timestep modulation (``ar_discrete.py:145-156``)
-        ss = nn.Dense(
+    def setup(self):
+        self.norm1 = nn.LayerNorm(epsilon=1e-6)
+        self.attn = MHA(self.d_model, self.n_heads)
+        self.norm2 = nn.LayerNorm(epsilon=1e-6)
+        self.cross_attn = MHA(self.d_model, self.n_heads)
+        self.norm22 = nn.LayerNorm(epsilon=1e-6)
+        self.cross_attn2 = MHA(self.d_model, self.n_heads)
+        self.norm3 = nn.LayerNorm(epsilon=1e-6)
+        self.mlp = Mlp(int(self.d_model * self.mlp_ratio), self.d_model)
+        self.timestep_fc = nn.Dense(
             self.d_model * 2,
             kernel_init=nn.with_logical_partitioning(
                 nn.initializers.zeros, (EMBED, MLP)
             ),
-            name="timestep_fc",
-        )(t_emb)
+        )
+
+    def cross_kv(self, text_cond, spkr_cond):
+        return self.cross_attn.kv(text_cond), self.cross_attn2.kv(spkr_cond)
+
+    def apply_step(self, x, mask, kv_text, text_mask, kv_spkr, spkr_mask, t_emb):
+        m = mask[..., None].astype(x.dtype)
+        x = x * m
+
+        h = self.norm1(x)
+        x = x + self.attn(h, h, mask, mask)
+
+        h = self.norm2(x)
+        ct = self.cross_attn.attend(h, *kv_text, mask, text_mask)
+        h2 = self.norm22(x)
+        cs = self.cross_attn2.attend(h2, *kv_spkr, mask, spkr_mask)
+        x = x + ct + cs
+
+        # FiLM timestep modulation (``ar_discrete.py:145-156``)
+        ss = self.timestep_fc(t_emb)
         scale, shift = jnp.split(ss[:, None, :], 2, axis=-1)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm3")(x)
+        h = self.norm3(x)
         h = h * (1 + scale) + shift
-        x = x + Mlp(
-            int(self.d_model * self.mlp_ratio), self.d_model, name="mlp"
-        )(h)
+        x = x + self.mlp(h)
         return x * m
+
+    def __call__(self, x, mask, text_cond, text_mask, spkr_cond, spkr_mask, t_emb):
+        kv_text, kv_spkr = self.cross_kv(text_cond, spkr_cond)
+        return self.apply_step(
+            x, mask, kv_text, text_mask, kv_spkr, spkr_mask, t_emb
+        )
 
 
 class DiTDenoiser(nn.Module):
@@ -235,6 +259,27 @@ class DiTDenoiser(nn.Module):
         spkr_cond = self.prom_tower(pe, prom_mask)
         return text_cond, spkr_cond
 
+    def cond_kv(self, text_cond, spkr_cond):
+        """Per-block cross-attention K/V of the (timestep-constant)
+        conditioning — computed once per utterance, reused by every reverse
+        step (the reference recomputes these inside the loop)."""
+        return [block.cross_kv(text_cond, spkr_cond) for block in self.blocks]
+
+    def denoise_with_kv(self, x_t, resp_mask, t, kv_list, text_mask, prom_mask):
+        """One denoiser evaluation with precomputed conditioning K/V."""
+        x = self.resps_emb(x_t) + sinusoidal_embedding(
+            jnp.arange(x_t.shape[1])[None], self.d_model
+        )
+        x = x.astype(self.dtype)
+        x = x * resp_mask[..., None].astype(self.dtype)
+        t_emb = self.time_emb(t).astype(self.dtype)
+        for block, (kv_text, kv_spkr) in zip(self.blocks, kv_list):
+            x = block.apply_step(
+                x, resp_mask, kv_text, text_mask, kv_spkr, prom_mask, t_emb
+            )
+        logits = self.final(x.astype(jnp.float32))
+        return logits * resp_mask[..., None]
+
     def denoise(self, x_t, resp_mask, t, text_cond, text_mask, spkr_cond, prom_mask):
         """One denoiser evaluation.  x_t: (B, Tr) ints; t: (B,).
         Returns x_0 logits (B, Tr, n_classes) in fp32.
@@ -244,18 +289,10 @@ class DiTDenoiser(nn.Module):
         the denoiser cannot align tokens to the text (the reference defines
         ``sin_emb2`` for exactly this but leaves its ``add_pe`` call
         commented out, ``ar_discrete.py:233, 657`` — an intent fix)."""
-        x = self.resps_emb(x_t) + sinusoidal_embedding(
-            jnp.arange(x_t.shape[1])[None], self.d_model
+        kv_list = self.cond_kv(text_cond, spkr_cond)
+        return self.denoise_with_kv(
+            x_t, resp_mask, t, kv_list, text_mask, prom_mask
         )
-        x = x.astype(self.dtype)
-        x = x * resp_mask[..., None].astype(self.dtype)
-        t_emb = self.time_emb(t).astype(self.dtype)
-        for block in self.blocks:
-            x = block(
-                x, resp_mask, text_cond, text_mask, spkr_cond, prom_mask, t_emb
-            )
-        logits = self.final(x.astype(jnp.float32))
-        return logits * resp_mask[..., None]
 
     def __call__(self, text, text_mask, proms, prom_mask, x_t, resp_mask, t):
         text_cond, spkr_cond = self.conds(text, text_mask, proms, prom_mask)
