@@ -129,3 +129,33 @@ def test_registry_dispatch():
     assert m.config.domain == "embedding"
     m = get_model("diffusion-gaussian-value", num_tokens=64)
     assert m.config.domain == "value"
+
+
+def test_gaussian_unet_shaped_denoiser():
+    """ar-3-style U-Net bottleneck: down-projection → DiT core → up with
+    skips; loss + generate run end-to-end."""
+    cfg = GaussianConfig(
+        n_tokens=64, d_model=32, n_heads=2, n_layers=1, timesteps=6,
+        resp_len=12, text_len=5, prom_len=7, gen_len=9, domain="embedding",
+        unet_dims=(16, 8),
+    )
+    m = GaussianDiffusionModel(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(2)
+    params = m.init(rng)
+    # core DiT runs at the bottleneck width
+    dit_kernel = params["params"]["dit_0"]["attn"]["q"]["kernel"]
+    import flax.linen as fnn
+    assert fnn.meta.unbox(dit_kernel).shape == (8, 8)
+    b = _batch(rng)
+    loss, _ = m.loss(params, b, rng)
+    assert jnp.isfinite(loss)
+    out = m.generate(params, b["text"], b["text_mask"], b["proms"],
+                     b["prom_mask"], rng)
+    assert out.shape == (2, 12)
+
+
+def test_registry_unet_variant():
+    from tts_with_diffusion_model_tpu.models import get_model
+
+    m = get_model("diffusion-gaussian-unet", num_tokens=64)
+    assert m.config.unet_dims == (128, 64)

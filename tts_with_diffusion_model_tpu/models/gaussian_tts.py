@@ -48,6 +48,10 @@ class GaussianConfig:
     text_len: int = 50
     prom_len: int = 398
     gen_len: int = 350
+    # U-Net-shaped channel bottleneck around the DiT stack (the reference's
+    # ``ar-3.py`` design: down-projection encoders → narrow DiT blocks →
+    # up-projection, ``ar-3.py:212-252``).  Empty = plain DiT (ar-dit/ar-4).
+    unet_dims: tuple = ()
 
 
 class GaussianDenoiser(nn.Module):
@@ -62,10 +66,23 @@ class GaussianDenoiser(nn.Module):
     n_classes: int
     n_prom_levels: int
     timesteps: int
+    unet_dims: tuple = ()
     dtype: Any = jnp.bfloat16
+
+    @property
+    def core_dim(self) -> int:
+        """Width of the DiT stack: the bottleneck when U-Net-shaped."""
+        return self.unet_dims[-1] if self.unet_dims else self.d_model
 
     def setup(self):
         self.in_proj = nn.Dense(self.d_model)
+        if self.unet_dims:
+            # ar-3-style down/up projection chains around the DiT core.
+            self.down_projs = [nn.Dense(d) for d in self.unet_dims]
+            self.up_projs = [
+                nn.Dense(d)
+                for d in list(reversed(self.unet_dims[:-1])) + [self.d_model]
+            ]
         self.text_emb = nn.Embed(
             self.n_classes,
             self.d_model,
@@ -76,11 +93,14 @@ class GaussianDenoiser(nn.Module):
         self.proms_emb = MultiEmbedding(
             self.n_prom_levels, self.n_classes, self.d_model
         )
-        self.time_emb = nn.Embed(self.timesteps + 1, self.d_model)
+        core = self.core_dim
+        self.time_emb = nn.Embed(self.timesteps + 1, core)
         self.text_tower = CondTower(self.d_model, self.n_heads, mlp_mult=2)
         self.prom_tower = CondTower(self.d_model, self.n_heads, mlp_mult=3)
+        if self.unet_dims:
+            self.cond_proj = nn.Dense(core)  # conditioning into the bottleneck
         self.blocks = [
-            DiTBlock(self.d_model, self.n_heads, name=f"dit_{i}")
+            DiTBlock(core, self.n_heads, name=f"dit_{i}")
             for i in range(self.n_layers)
         ]
         self.out_proj = nn.Dense(self.in_dim, dtype=jnp.float32)
@@ -104,11 +124,21 @@ class GaussianDenoiser(nn.Module):
             jnp.arange(x.shape[1])[None], self.d_model
         ).astype(self.dtype)
         x = x * resp_mask[..., None].astype(self.dtype)
+        if self.unet_dims:
+            skips = []
+            for proj in self.down_projs:
+                skips.append(x)
+                x = nn.gelu(proj(x))
+            text_cond = self.cond_proj(text_cond)
+            spkr_cond = self.cond_proj(spkr_cond)
         t_emb = self.time_emb(t).astype(self.dtype)
         for block in self.blocks:
             x = block(
                 x, resp_mask, text_cond, text_mask, spkr_cond, prom_mask, t_emb
             )
+        if self.unet_dims:
+            for proj, skip in zip(self.up_projs, reversed(skips)):
+                x = nn.gelu(proj(x)) + skip
         eps = self.out_proj(x.astype(jnp.float32))
         return eps * resp_mask[..., None]
 
@@ -131,6 +161,7 @@ class GaussianDiffusionModel:
             n_classes=config.n_tokens + 1,
             n_prom_levels=config.n_prom_levels,
             timesteps=config.timesteps,
+            unet_dims=tuple(config.unet_dims),
             dtype=dtype,
         )
         self.process = GaussianDiffusion.create(config.timesteps, config.schedule)
