@@ -41,8 +41,9 @@ def first_stage_generate(meta, model, params, phn_ids, proms, rng, args):
             params, jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
             jnp.asarray(pm), rng,
         )
-        tokens = np.asarray(out[0])
-        return tokens[tokens != 0] if (tokens != 0).any() else tokens
+        # first gen_len positions are the generated utterance; the rest are
+        # padding (0 is a *valid* codec token, so slice — don't filter).
+        return np.asarray(out[0, : c.gen_len])
 
     # AR path
     Tt, Tp = len(phn_ids), len(proms)
