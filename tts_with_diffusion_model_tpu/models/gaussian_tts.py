@@ -76,6 +76,16 @@ class GaussianDenoiser(nn.Module):
 
     def setup(self):
         self.in_proj = nn.Dense(self.d_model)
+        # token ↔ embedding table for the "embedding" diffusion domain
+        # (≡ the resp embedding ar2/ar-dit diffuse over and decode against
+        # with find_closest_embedding, ``ar2.py:424+``)
+        self.resp_table = self.param(
+            "resp_table",
+            nn.with_logical_partitioning(
+                nn.initializers.normal(1.0), (VOCAB, EMBED)
+            ),
+            (self.n_classes, self.d_model),
+        )
         if self.unet_dims:
             # ar-3-style down/up projection chains around the DiT core.
             self.down_projs = [nn.Dense(d) for d in self.unet_dims]
@@ -178,7 +188,7 @@ class GaussianDiffusionModel:
         return self.denoiser.init(rng, text, tm, proms, pm, x, rm, t)
 
     def _embed_table(self, params):
-        table = params["params"]["text_emb"]["embedding"]
+        table = params["params"]["resp_table"]
         return nn.meta.unbox(table)  # strip partitioning metadata if boxed
 
     def _to_domain(self, params, resp: jax.Array) -> jax.Array:
