@@ -51,15 +51,14 @@ def main():
     out = gen(params, rng)
     out.block_until_ready()
 
-    times = []
-    for i in range(5):
-        r = jax.random.PRNGKey(i + 1)
-        t0 = time.perf_counter()
-        out = gen(params, r)
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-
-    dt = sorted(times)[len(times) // 2]  # median
+    # steady-state throughput: launch N generations back-to-back and sync
+    # once (per-call sync would charge a host↔device round trip per run,
+    # an artifact of the dispatch path, not the device).
+    N = 8
+    t0 = time.perf_counter()
+    outs = [gen(params, jax.random.PRNGKey(i + 1)) for i in range(N)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / N
     tokens_per_sec = c.gen_len / dt
 
     print(
