@@ -94,6 +94,54 @@ def test_dataloader_eval_iterates_once(data_dir):
     assert sum(len(b["path"]) for b in batches) == len(ds)
 
 
+def test_cache_dataloader_memoizes_construction(data_dir, tmp_path):
+    """cache_dataloader=True writes the construction cache on first call and
+    restores identical datasets (paths, symmaps) on the second call
+    (≡ ``vall_e/config.py:89-93``)."""
+    from tts_with_diffusion_model_tpu.data.dataset import create_datasets
+
+    class Cfg:
+        data_dirs = [data_dir]
+        min_phones = 3
+        max_phones = 100
+        spkr_name_getter = "parts:-2"
+        max_num_val = 20
+        p_additional_prompt = 0.8
+        max_prompts = 3
+        seed = 0
+        cache_dataloader = True
+        cache_dir = tmp_path / "cache"
+
+        @property
+        def get_spkr(self):
+            return make_spkr_getter(self.spkr_name_getter)
+
+    cfg = Cfg()
+    t1, v1 = create_datasets(cfg)
+    cache_files = list((tmp_path / "cache").glob("datasets-*.json"))
+    assert len(cache_files) == 1
+    t2, v2 = create_datasets(cfg)  # hits the cache
+    assert t1.paths == t2.paths and v1.paths == v2.paths
+    assert t1.phone_symmap == t2.phone_symmap
+    assert t1.spkr_symmap == t2.spkr_symmap
+    # cached datasets still produce items
+    item = t2[0]
+    assert item["resps"].shape[1] == 8
+
+
+def test_shard_batch_divisibility_guard():
+    import jax
+
+    from tts_with_diffusion_model_tpu.parallel.mesh import build_mesh, shard_batch
+
+    mesh = build_mesh(4, 2, jax.devices("cpu")[:8])
+    bad = {"x": np.zeros((3, 5), np.float32)}
+    with pytest.raises(ValueError, match="divisible by the dp mesh axis"):
+        shard_batch(bad, mesh)
+    ok = shard_batch({"x": np.zeros((8, 5), np.float32)}, mesh)
+    assert ok["x"].shape == (8, 5)
+
+
 def test_spkr_getter_specs():
     from pathlib import Path
 

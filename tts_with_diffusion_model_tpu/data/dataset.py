@@ -104,6 +104,7 @@ class VALLEDataset:
         max_prompts: int = 6,
         extra_paths_by_spkr_name: dict | None = None,
         seed: int = 0,
+        skip_validation: bool = False,
     ):
         self.get_spkr = get_spkr
         self.min_phones = min_phones
@@ -114,7 +115,10 @@ class VALLEDataset:
         self._head: int | None = None
         self.rng = random.Random(seed)
 
-        self.paths = [p for p in paths if validate_path(p, min_phones, max_phones)]
+        if skip_validation:  # paths come pre-validated from the disk cache
+            self.paths = list(paths)
+        else:
+            self.paths = [p for p in paths if validate_path(p, min_phones, max_phones)]
         if len(self.paths) == 0 and training:
             raise ValueError("No valid path found for training.")
 
@@ -310,8 +314,72 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
 
+def _dataset_cache_file(cfg) -> Path:
+    """Cache key for dataset-construction memoization (≡ the reference's
+    ``diskcache.Cache(cfg.cache_dir).memoize`` on ``create_datasets``,
+    ``vall_e/config.py:89-93``).  Keyed on the construction inputs only —
+    like the reference, the cache does not watch the filesystem; delete
+    ``cfg.cache_dir`` after changing the data."""
+    import hashlib
+    import json as _json
+
+    payload = _json.dumps(
+        [
+            sorted(str(d) for d in cfg.data_dirs),
+            cfg.min_phones,
+            cfg.max_phones,
+            cfg.spkr_name_getter,
+            cfg.max_num_val,
+        ]
+    )
+    digest = hashlib.sha256(payload.encode()).hexdigest()[:16]
+    return Path(cfg.cache_dir) / f"datasets-{digest}.json"
+
+
 def create_datasets(cfg):
-    """≡ ``data.py:244-263`` with the project config object."""
+    """≡ ``data.py:244-263`` with the project config object.
+
+    With ``cfg.cache_dataloader`` on, the expensive construction steps —
+    ``rglob`` discovery, per-file phone validation, and symmap building —
+    are memoized to ``cfg.cache_dir`` and skipped on subsequent runs.
+    """
+    import json as _json
+
+    cache_file = None
+    if getattr(cfg, "cache_dataloader", False):
+        cache_file = _dataset_cache_file(cfg)
+        if cache_file.exists():
+            blob = _json.loads(cache_file.read_text())
+            _logger.info(f"Dataset construction restored from {cache_file}")
+            train_dataset = VALLEDataset(
+                [Path(p) for p in blob["train_paths"]],
+                cfg.get_spkr,
+                phone_symmap=blob["phone_symmap"],
+                spkr_symmap=blob["spkr_symmap"],
+                min_phones=cfg.min_phones,
+                max_phones=cfg.max_phones,
+                training=True,
+                p_additional_prompt=cfg.p_additional_prompt,
+                max_prompts=cfg.max_prompts,
+                seed=cfg.seed + _process_offset(),
+                skip_validation=True,
+            )
+            val_dataset = VALLEDataset(
+                [Path(p) for p in blob["val_paths"]],
+                cfg.get_spkr,
+                phone_symmap=blob["phone_symmap"],
+                spkr_symmap=blob["spkr_symmap"],
+                min_phones=cfg.min_phones,
+                max_phones=cfg.max_phones,
+                p_additional_prompt=cfg.p_additional_prompt,
+                max_prompts=cfg.max_prompts,
+                extra_paths_by_spkr_name=train_dataset.paths_by_spkr_name,
+                skip_validation=True,
+            )
+            val_dataset.interleaved_reorder_(cfg.get_spkr)
+            val_dataset.head_(cfg.max_num_val)
+            return train_dataset, val_dataset
+
     train_paths, val_paths = load_train_val_paths(cfg.data_dirs, cfg.get_spkr)
     train_dataset = VALLEDataset(
         train_paths,
@@ -336,6 +404,21 @@ def create_datasets(cfg):
     )
     val_dataset.interleaved_reorder_(cfg.get_spkr)
     val_dataset.head_(cfg.max_num_val)
+
+    if cache_file is not None:
+        cache_file.parent.mkdir(parents=True, exist_ok=True)
+        cache_file.write_text(
+            _json.dumps(
+                dict(
+                    train_paths=[str(p) for p in train_dataset.paths],
+                    val_paths=[str(p) for p in val_dataset.paths],
+                    phone_symmap=train_dataset.phone_symmap,
+                    spkr_symmap=train_dataset.spkr_symmap,
+                )
+            )
+        )
+        _logger.info(f"Dataset construction cached to {cache_file}")
+
     return train_dataset, val_dataset
 
 

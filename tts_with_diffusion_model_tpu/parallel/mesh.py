@@ -38,7 +38,10 @@ def build_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
     if dp == -1:
         assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
         dp = n // tp
-    assert dp * tp <= n, f"mesh {dp}x{tp} needs more than {n} devices"
+    assert dp * tp <= n, (
+        f"mesh dp={dp} x tp={tp} needs {dp * tp} devices but only {n} are "
+        f"available ({[getattr(d, 'platform', '?') for d in devices[:4]]}...)"
+    )
     arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 
@@ -86,11 +89,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put numpy batch arrays with batch-axis sharding."""
+    """Device-put numpy batch arrays with batch-axis sharding.
+
+    Raises a clear error (instead of an opaque XLA one) when the batch size
+    does not divide the ``dp`` axis.
+    """
+    dp = mesh.shape.get("dp", 1)
     bs = batch_sharding(mesh)
     out = {}
     for k, v in batch.items():
         if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
+            if v.shape[0] % dp != 0:
+                raise ValueError(
+                    f"batch axis of '{k}' has size {v.shape[0]}, which is not "
+                    f"divisible by the dp mesh axis ({dp}); pick a batch_size "
+                    f"that is a multiple of dp"
+                )
             out[k] = jax.device_put(v, bs)
         else:
             out[k] = v

@@ -124,7 +124,10 @@ def load_engines(cfg: Config | None = None):
 
     mesh = build_mesh(cfg.mesh_dp, cfg.mesh_tp)
     opt_cfg = dict(cfg.optimizer_cfg)
-    opt_cfg["gradient_clipping"] = cfg.gradient_clipping
+    # max_grad_norm (generic-config knob, ≡ ``utils/config.py:21``) overrides
+    # the project-level gradient_clipping when set.
+    clip = cfg.max_grad_norm if cfg.max_grad_norm is not None else cfg.gradient_clipping
+    opt_cfg["gradient_clipping"] = clip
     opt_cfg["gradient_accumulation_steps"] = cfg.gradient_accumulation_steps
     engines = dict(
         model=Engine(
@@ -208,12 +211,16 @@ def main(cfg: Config | None = None):
             if len(hyps[i]) > 0:
                 qnt.decode_to_file(hyps[i], hyp_path)
 
+    # Compiled once per process; reused across eval ticks (re-jitting inside
+    # run_eval would recompile the loss on every eval).
+    eval_loss_fn = jax.jit(make_loss_fn(cfg, model))
+
     def run_eval(engines, name, dl):
         """Val-loss eval (re-enabling the intent of ``train.py:90-145``)."""
         engine = engines["model"]
         rng = jax.random.PRNGKey(0)
         losses = []
-        loss_fn = jax.jit(make_loss_fn(cfg, model))
+        loss_fn = eval_loss_fn
         first_batch = None
         for batch in dl:
             arrays = {

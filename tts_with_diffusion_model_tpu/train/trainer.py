@@ -93,6 +93,42 @@ def logger(data):
     return _logger.info(json.dumps(data, default=str))
 
 
+class _DeferredCommands:
+    """Commands scheduled for a future step via the ``<cmd>@<step>`` syntax.
+
+    The operator types e.g. ``save@5000`` into the training process's stdin;
+    the ``save`` fires when ``global_step`` reaches 5000.  Entries whose step
+    has already passed are dropped silently.
+    """
+
+    def __init__(self):
+        self._queue: list[tuple[int, str]] = []
+
+    def maybe_defer(self, raw: str) -> bool:
+        """If ``raw`` looks like ``cmd@step``, enqueue it and return True."""
+        if "@" not in raw:
+            return False
+        cmd, _, step_str = raw.partition("@")
+        try:
+            self._queue.append((int(step_str), cmd))
+            _logger.info("deferred %r until step %s", cmd, step_str)
+        except ValueError as e:
+            _logger.error("could not parse deferred command %r: %s", raw, e)
+        return True
+
+    def take_due(self, step: int) -> list[str]:
+        """Pop and return commands due at ``step``; discard stale ones."""
+        due = [cmd for when, cmd in self._queue if when == step]
+        self._queue = [(when, cmd) for when, cmd in self._queue if when > step]
+        return due
+
+    def describe(self) -> str:
+        return ", ".join(f"{cmd}@{when}" for when, cmd in self._queue) or "(none)"
+
+    def clear(self) -> None:
+        self._queue.clear()
+
+
 class EvalFn(Protocol):
     def __call__(self, *, engines: Engines):
         ...
@@ -117,14 +153,28 @@ def train(
     global _engines
     _engines = engines
 
-    events: list[tuple[str, int]] = []
     eval_fn = global_leader_only(eval_fn)
+    schedule = _DeferredCommands()
+    ckpt_period = cfg.save_ckpt_every or cfg.eval_every
+    step_seconds = 0.0
 
-    # Pre-loop command (≡ ``trainer.py:137-144``)
-    command = _non_blocking_input()
-    if command in ["eval", "eval_quit"]:
+    def report_eta(spec: str) -> None:
+        # "time" → ETA to max_iter; "time to N" → ETA to step N.
+        horizon = cfg.max_iter
+        tail = spec.partition(" to ")[2]
+        if tail:
+            try:
+                horizon = int(tail)
+            except ValueError:
+                _logger.error("bad step in %r — expected 'time to <int>'", spec)
+        secs = max(0, horizon - engines.global_step + 1) * step_seconds
+        _logger.info("eta %.0fs (%.2fh) to step %d", secs, secs / 3600, horizon)
+
+    # A command typed before the first step can eval and/or exit immediately.
+    startup = _non_blocking_input()
+    if startup in ("eval", "eval_quit"):
         eval_fn(engines=engines)
-    if command in ["quit", "eval_quit"]:
+    if startup in ("quit", "eval_quit"):
         return
 
     for batch in _make_infinite_epochs(train_dl):
@@ -132,50 +182,38 @@ def train(
             break
 
         stats = engines.step(batch=batch)
-        elapsed_time = stats.get("elapsed_time", 0)
+        step_seconds = stats.get("elapsed_time", 0)
         logger(data=stats)
 
-        command = _non_blocking_input()
+        step = engines.global_step
+        typed = _non_blocking_input()
+        if schedule.maybe_defer(typed):
+            typed = ""
 
-        if "@" in command:
-            what, when = command.split("@")
-            try:
-                events.append((what, int(when)))
-                _logger.info(f"Event {command} registered.")
-            except Exception as e:
-                _logger.error(e)
-            command = ""
+        # Actions are collected as flags so that a periodic trigger and an
+        # explicit command on the same step produce one save/eval, not two.
+        want_save = step % ckpt_period == 0
+        want_eval = step % cfg.eval_every == 0
+        want_quit = False
 
-        events = [e for e in events if e[1] >= engines.global_step]
-        commands = [command] + [e[0] for e in events if e[1] == engines.global_step]
+        for cmd in (typed, *schedule.take_due(step)):
+            if cmd in ("event", "event show"):
+                _logger.info("deferred commands: %s", schedule.describe())
+            elif cmd == "event clear":
+                schedule.clear()
+            elif cmd.startswith("time"):
+                report_eta(cmd)
+            elif cmd == "save":
+                want_save = True
+            elif cmd == "eval":
+                want_eval = True
+            elif cmd == "quit":
+                want_quit = True
+                want_save = want_save or cfg.save_on_quit
 
-        for command in commands:
-            if command in ["event show", "event"]:
-                msg = "Events:\n" + "\n".join("@".join(map(str, e)) for e in events)
-                _logger.info(msg)
-            if command == "event clear":
-                events.clear()
-
-            if "time" in command:
-                target_iter = cfg.max_iter
-                if " to " in command:
-                    try:
-                        target_iter = int(command.split(" to ")[-1])
-                    except Exception as e:
-                        _logger.error(e)
-                remaining = (target_iter - engines.global_step + 1) * elapsed_time
-                _logger.info(f"ETA: {remaining:.0f}s ({remaining / 3600:.2f}h)")
-
-            save_ckpt_every = cfg.save_ckpt_every or cfg.eval_every
-            saving_commands = ["save"]
-            if cfg.save_on_quit:
-                saving_commands.append("quit")
-
-            if engines.global_step % save_ckpt_every == 0 or command in saving_commands:
-                engines.save_checkpoint()
-
-            if engines.global_step % cfg.eval_every == 0 or command in ["eval"]:
-                eval_fn(engines=engines)
-
-            if command in ["quit"]:
-                return
+        if want_save:
+            engines.save_checkpoint()
+        if want_eval:
+            eval_fn(engines=engines)
+        if want_quit:
+            return
