@@ -79,6 +79,57 @@ def _resblock(sd: dict, prefix: str) -> dict:
     return out
 
 
+def verify_params(params: dict) -> dict:
+    """Checkpoint-validation battery for converted codec weights.
+
+    Runs the converted parameters through encode → decode on a deterministic
+    multi-tone signal and checks structural health: codes within the
+    codebook range, more than one distinct code in use (a broken conversion
+    typically collapses the quantizer), finite audio out, and a finite
+    encode(decode(codes)) second pass.  Returns a report dict with ``ok``.
+
+    This certifies a conversion mechanically; numerical equivalence of the
+    conversion itself is proven against a full-architecture torch oracle in
+    ``tests/test_codec_full_oracle.py``.
+    """
+    import jax.numpy as jnp
+
+    from .encodec import HOP, EncodecModel
+
+    model = EncodecModel()
+    t = np.arange(HOP * 16) / 24_000.0
+    wav = (
+        0.5 * np.sin(2 * np.pi * 220 * t)
+        + 0.3 * np.sin(2 * np.pi * 880 * t + 0.5)
+        + 0.1 * np.sin(2 * np.pi * 3520 * t)
+    ).astype(np.float32)
+    x = jnp.asarray(wav)[None, :, None]
+
+    codes = np.asarray(model.apply(params, x, 8, method=EncodecModel.encode))
+    out = np.asarray(model.apply(params, jnp.asarray(codes), method=EncodecModel.decode))
+    codes2 = np.asarray(
+        model.apply(params, jnp.asarray(out), 8, method=EncodecModel.encode)
+    )
+
+    bins = params["params"]["quantizer"]["codebooks"].shape[1]
+    report = {
+        "codes_shape": list(codes.shape),
+        "codes_in_range": bool((codes >= 0).all() and (codes < bins).all()),
+        "distinct_codes": int(len(np.unique(codes))),
+        "finite_audio": bool(np.isfinite(out).all()),
+        "audio_rms": float(np.sqrt((out**2).mean())),
+        "reencode_finite": bool((codes2 >= 0).all() and (codes2 < bins).all()),
+        "reencode_l0_match": float((codes2[:, 0] == codes[:, 0]).mean()),
+    }
+    report["ok"] = (
+        report["codes_in_range"]
+        and report["finite_audio"]
+        and report["distinct_codes"] > 1
+        and report["reencode_finite"]
+    )
+    return report
+
+
 def convert_state_dict(sd: dict) -> dict:
     """encodec state_dict (numpy tensors) → flax param tree for EncodecModel."""
     n_ratios = 4
@@ -147,15 +198,31 @@ def load_npz_params(path: str | Path) -> dict:
 
 
 def main():
-    if len(sys.argv) < 2:
+    import json
+
+    args = [a for a in sys.argv[1:] if a != "--verify"]
+    verify = "--verify" in sys.argv[1:]
+    if not args:
         print(__doc__)
+        print("Flags:\n  --verify  run the checkpoint-validation battery "
+              "after conversion (or on an existing .npz)")
         sys.exit(1)
-    src = Path(sys.argv[1])
-    dst = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("zoo/encodec_24khz.npz")
-    dst.parent.mkdir(parents=True, exist_ok=True)
-    params = convert_state_dict(load_torch_checkpoint(src))
-    save_npz_params(params, dst)
-    print(f"{dst} saved.")
+    src = Path(args[0])
+    if src.suffix == ".npz":
+        params = load_npz_params(src)
+        dst = src
+    else:
+        dst = Path(args[1]) if len(args) > 1 else Path("zoo/encodec_24khz.npz")
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        params = convert_state_dict(load_torch_checkpoint(src))
+        save_npz_params(params, dst)
+        print(f"{dst} saved.")
+    if verify:
+        report = verify_params(params)
+        print(json.dumps(report, indent=2))
+        if not report["ok"]:
+            sys.exit(2)
+        print("verification OK")
 
 
 if __name__ == "__main__":

@@ -208,7 +208,9 @@ class FeedForward(nn.Module):
         self.drop = nn.Dropout(self.p_dropout)
 
     def __call__(self, x, deterministic: bool = True):
-        h = nn.gelu(self.fc1(x))
+        # erf-form gelu ≡ torch nn.GELU (``base.py:211``); flax's default
+        # tanh approximation differs by up to ~1e-3 per activation.
+        h = nn.gelu(self.fc1(x), approximate=False)
         h = self.drop(h, deterministic=deterministic)
         return self.fc2(h)
 
@@ -229,8 +231,9 @@ class PrenormBlock(nn.Module):
             self.norm_attn = AdaLN(self.d_model, self.n_levels)
             self.norm_ffn = AdaLN(self.d_model, self.n_levels)
         else:
-            self.norm_attn = nn.LayerNorm()
-            self.norm_ffn = nn.LayerNorm()
+            # eps 1e-5 ≡ torch nn.LayerNorm default (``base.py:176``)
+            self.norm_attn = nn.LayerNorm(epsilon=1e-5)
+            self.norm_ffn = nn.LayerNorm(epsilon=1e-5)
         self.attn = Attention(self.d_model, self.n_heads, self.causal)
         self.ffn = FeedForward(self.d_model, self.p_dropout)
         self.drop = nn.Dropout(self.p_dropout)

@@ -36,7 +36,10 @@ from .base import EMBED, HEADS, MLP, VOCAB, MultiEmbedding, sinusoidal_embedding
 
 
 class Mlp(nn.Module):
-    """timm-style MLP (in → hidden → out) used throughout the denoiser."""
+    """timm-style MLP (in → hidden → out) used throughout the denoiser.
+
+    Activations match their torch counterparts exactly ("gelu" = erf-form
+    ``nn.GELU``, "relu" = ``TransformerEncoderLayer``'s default)."""
 
     hidden: int
     out: int
@@ -51,7 +54,12 @@ class Mlp(nn.Module):
             ),
             name="fc1",
         )(x)
-        h = nn.silu(h) if self.act == "silu" else nn.gelu(h)
+        if self.act == "silu":
+            h = nn.silu(h)
+        elif self.act == "relu":
+            h = nn.relu(h)
+        else:
+            h = nn.gelu(h, approximate=False)
         h = nn.Dense(
             self.out,
             kernel_init=nn.with_logical_partitioning(
@@ -103,17 +111,25 @@ class MHA(nn.Module):
 
 class EncoderLayer(nn.Module):
     """Post-norm transformer encoder layer (torch ``TransformerEncoderLayer``
-    semantics, used by the conditioning towers, ``ar_discrete.py:216-230``)."""
+    semantics, used by the conditioning towers, ``ar_discrete.py:216-230``).
+
+    ``ffn_dim=None`` → 4·d_model (the production default; equals torch's
+    dim_feedforward=2048 at d_model=512).  ``act="relu"`` + ``ffn_dim=2048``
+    reproduce ``TransformerEncoderLayer`` defaults exactly (oracle parity);
+    LN eps 1e-5 matches torch."""
 
     d_model: int
     n_heads: int
+    ffn_dim: int | None = None
+    act: str = "gelu"
 
     @nn.compact
     def __call__(self, x, mask=None):
         h = MHA(self.d_model, self.n_heads, name="self_attn")(x, x, mask, mask)
-        x = nn.LayerNorm(name="norm1")(x + h)
-        h = Mlp(self.d_model * 4, self.d_model, act="gelu", name="ffn")(x)
-        x = nn.LayerNorm(name="norm2")(x + h)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + h)
+        ffn = self.ffn_dim if self.ffn_dim is not None else self.d_model * 4
+        h = Mlp(ffn, self.d_model, act=self.act, name="ffn")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
         return x
 
 
@@ -124,11 +140,16 @@ class CondTower(nn.Module):
     n_heads: int
     mlp_mult: int
     n_layers: int = 2
+    ffn_dim: int | None = None
+    act: str = "gelu"
 
     @nn.compact
     def __call__(self, x, mask=None):
         for i in range(self.n_layers):
-            x = EncoderLayer(self.d_model, self.n_heads, name=f"layer_{i}")(x, mask)
+            x = EncoderLayer(
+                self.d_model, self.n_heads, self.ffn_dim, self.act,
+                name=f"layer_{i}",
+            )(x, mask)
         x = Mlp(self.d_model * self.mlp_mult, self.d_model, act="silu", name="mlp")(x)
         if mask is not None:
             x = x * mask[..., None].astype(x.dtype)
@@ -208,6 +229,13 @@ class DiTDenoiser(nn.Module):
     n_prom_levels: int = 8
     timesteps: int = 100
     dtype: Any = jnp.bfloat16
+    # Reference-parity knobs (tests/test_reference_oracle.py): tower FFN
+    # width/activation (torch TransformerEncoderLayer defaults are 2048/relu)
+    # and whether the noisy response sequence gets positional encoding (the
+    # reference leaves its ``sin_emb2`` unused — see ``denoise`` docstring).
+    tower_ffn_dim: int | None = None
+    tower_act: str = "gelu"
+    resp_pe: bool = True
 
     def setup(self):
         self.text_emb = nn.Embed(
@@ -228,8 +256,14 @@ class DiTDenoiser(nn.Module):
             ),
         )
         self.time_emb = nn.Embed(self.timesteps + 1, self.d_model)
-        self.text_tower = CondTower(self.d_model, self.n_heads, mlp_mult=2)
-        self.prom_tower = CondTower(self.d_model, self.n_heads, mlp_mult=3)
+        self.text_tower = CondTower(
+            self.d_model, self.n_heads, mlp_mult=2,
+            ffn_dim=self.tower_ffn_dim, act=self.tower_act,
+        )
+        self.prom_tower = CondTower(
+            self.d_model, self.n_heads, mlp_mult=3,
+            ffn_dim=self.tower_ffn_dim, act=self.tower_act,
+        )
         self.blocks = [
             DiTBlock(self.d_model, self.n_heads, name=f"dit_{i}")
             for i in range(self.n_layers)
@@ -267,9 +301,11 @@ class DiTDenoiser(nn.Module):
 
     def denoise_with_kv(self, x_t, resp_mask, t, kv_list, text_mask, prom_mask):
         """One denoiser evaluation with precomputed conditioning K/V."""
-        x = self.resps_emb(x_t) + sinusoidal_embedding(
-            jnp.arange(x_t.shape[1])[None], self.d_model
-        )
+        x = self.resps_emb(x_t)
+        if self.resp_pe:
+            x = x + sinusoidal_embedding(
+                jnp.arange(x_t.shape[1])[None], self.d_model
+            )
         x = x.astype(self.dtype)
         x = x * resp_mask[..., None].astype(self.dtype)
         t_emb = self.time_emb(t).astype(self.dtype)
