@@ -58,4 +58,44 @@ python -m $PKG 'I am here to make some noise' \
     "$WORK/data/train/spk1/utt0.wav" "$WORK/out.wav" \
     --ar-ckpt "$WORK/zoo/ar" --nar-ckpt "$WORK/zoo/nar" --max-ar-steps 40
 
-echo "demo complete: $WORK/out.wav"
+echo "AR/NAR demo complete: $WORK/out.wav"
+
+# ---- diffusion first stage: train → export → synthesize → QUALITY GATE ----
+# Overfit corpus: two utterances of one speaker (the diffusion analogue of
+# the reference's one-sample overfit convention, nar.py:149-165).
+mkdir -p "$WORK/data/overfit/spk1"
+cp "$WORK/data/train/spk1/utt0."* "$WORK/data/train/spk1/utt1."* \
+   "$WORK/data/overfit/spk1/"
+
+cat > "$WORK/demo_diff.yml" << EOF
+data_dirs: [$WORK/data/overfit]
+spkr_name_getter: "parts:-2"
+model: diffusion
+model_overrides: {d_model: 128, n_heads: 4, n_layers: 2, timesteps: 20,
+                  resp_len: 96, text_len: 24, prom_len: 160, gen_len: 80}
+batch_size: 2
+max_iter: 500
+eval_every: 500
+save_ckpt_every: 500
+warmup_max_lr: 1.0e-3
+warmup_num_steps: 50
+min_phones: 3
+mesh_tp: 1
+log_root: $WORK/logs
+ckpt_root: $WORK/ckpts
+EOF
+
+python -m $PKG.train "yaml=$WORK/demo_diff.yml"
+python -m $PKG.export "$WORK/zoo/diff" "yaml=$WORK/demo_diff.yml"
+
+# CLI synthesis through the diffusion first stage + NAR
+python -m $PKG 'make some noise' \
+    "$WORK/data/train/spk1/utt0.wav" "$WORK/out_diff.wav" \
+    --ar-ckpt "$WORK/zoo/diff" --nar-ckpt "$WORK/zoo/nar"
+
+# Gate: the overfit model must reproduce the training utterance's level-0
+# tokens (>=70% accuracy) — exits nonzero on quality regression.
+python scripts/quality_gate.py "$WORK/zoo/diff" \
+    "$WORK/data/overfit/spk1/utt0.wav" 'hello there' --min-acc 0.7
+
+echo "demo complete: $WORK/out.wav $WORK/out_diff.wav (quality gate passed)"

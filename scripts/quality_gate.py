@@ -1,0 +1,90 @@
+"""Quality gate: synthesized level-0 tokens must match a training utterance.
+
+Used by ``scripts/e2e_demo.sh`` after training + exporting the diffusion
+model on the toy corpus: the overfit model, asked for a training
+utterance's text with that utterance as the speaker prompt, must reproduce
+its level-0 codec tokens (≥ --min-acc, default 0.7) — the through-the-real-
+entrypoints analogue of ``tests/test_d3pm.py``'s overfit-and-recover check
+and of the reference's one-sample overfit convention
+(``/root/reference/vall_e/vall_e/nar.py:149-165``).  Exits nonzero on
+regression so the demo fails loudly.
+
+    python scripts/quality_gate.py <bundle-dir> <train.wav> '<text>' \
+        [--min-acc 0.7] [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bundle", type=Path)
+    ap.add_argument("wav", type=Path)
+    ap.add_argument("text")
+    ap.add_argument("--min-acc", type=float, default=0.7)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tts_with_diffusion_model_tpu.__main__ import build_model
+    from tts_with_diffusion_model_tpu.emb import g2p, qnt
+    from tts_with_diffusion_model_tpu.export import load_bundle
+    from tts_with_diffusion_model_tpu.text.symmap import phones_to_ids
+
+    params, meta, phone_symmap, _ = load_bundle(args.bundle)
+    model = build_model(meta)
+    c = model.config
+
+    codes = qnt.encode_from_file(args.wav)  # (8, T)
+    target = np.asarray(codes[0])
+    proms = np.asarray(codes).T  # (T, 8)
+
+    phn_ids = phones_to_ids(g2p.encode(args.text), phone_symmap, strict=False)
+
+    text = np.zeros((1, c.text_len), np.int32)
+    tm = np.zeros((1, c.text_len), np.float32)
+    n = min(len(phn_ids), c.text_len)
+    text[0, :n] = phn_ids[:n]
+    tm[0, :n] = 1
+    pr = np.zeros((1, c.prom_len, 8), np.int32)
+    pm = np.zeros((1, c.prom_len), np.float32)
+    np_ = min(len(proms), c.prom_len)
+    pr[0, :np_] = proms[:np_]
+    pm[0, :np_] = 1
+
+    n_cmp = min(len(target), c.gen_len)
+    out = model.generate(
+        params, jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
+        jnp.asarray(pm), jax.random.PRNGKey(args.seed), gen_len=n_cmp,
+    )
+    hyp = np.asarray(out[0, :n_cmp])
+    acc = float((hyp == target[:n_cmp]).mean())
+
+    report = {
+        "tokens_compared": int(n_cmp),
+        "level0_token_accuracy": round(acc, 4),
+        "min_acc": args.min_acc,
+        "ok": acc >= args.min_acc,
+    }
+    print(json.dumps(report))
+    if not report["ok"]:
+        print(
+            f"QUALITY GATE FAILED: level-0 accuracy {acc:.3f} < {args.min_acc}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    print("quality gate OK")
+
+
+if __name__ == "__main__":
+    main()

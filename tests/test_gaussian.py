@@ -81,15 +81,15 @@ def _tiny_cfg(domain):
     )
 
 
-def _batch(rng, V=64):
+def _batch(rng, V=64, resp_len=12):
     B = 2
     return dict(
         text=jax.random.randint(rng, (B, 5), 1, V),
         text_mask=jnp.ones((B, 5)),
         proms=jax.random.randint(rng, (B, 7, 8), 0, V),
         prom_mask=jnp.ones((B, 7)),
-        resp=jax.random.randint(rng, (B, 12), 0, V),
-        resp_mask=jnp.ones((B, 12)).at[1, 9:].set(0),
+        resp=jax.random.randint(rng, (B, resp_len), 0, V),
+        resp_mask=jnp.ones((B, resp_len)).at[1, resp_len - 3 :].set(0),
     )
 
 
@@ -159,3 +159,47 @@ def test_registry_unet_variant():
 
     m = get_model("diffusion-gaussian-unet", num_tokens=64)
     assert m.config.unet_dims == (128, 64)
+
+
+def test_conv_unet_denoiser_value_domain():
+    """ar-last's conv-UNet denoiser (``ar-last.py:186``): loss + generate run
+    end-to-end in the value domain; masked tail stays zero; gradients flow
+    to every parameter group."""
+    cfg = GaussianConfig(
+        n_tokens=64, d_model=32, n_heads=2, timesteps=6,
+        resp_len=16, text_len=5, prom_len=7, gen_len=12, domain="value",
+        denoiser="conv-unet", unet_channels=(8, 16),
+    )
+    m = GaussianDiffusionModel(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(3)
+    params = m.init(rng)
+    b = _batch(rng, resp_len=16)
+    loss, _ = m.loss(params, b, rng)
+    assert jnp.isfinite(loss)
+
+    grads = jax.grad(lambda p: m.loss(p, b, rng)[0])(params)
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(
+        flax.linen.meta.unbox(grads["params"]), sep="/"
+    )
+    groups = {k.split("/")[0] for k, v in flat.items()
+              if float(jnp.abs(v).sum()) > 0}
+    assert any(k.startswith("down_res") for k in groups)
+    assert any(k.startswith("up_res") for k in groups)
+    assert "mid_attn" in groups and "conv_out" in groups
+
+    out = m.generate(params, b["text"], b["text_mask"], b["proms"],
+                     b["prom_mask"], rng)
+    assert out.shape == (2, 16)
+    assert int(out[:, 12:].sum()) == 0
+    assert int(out.min()) >= 0 and int(out.max()) < 64
+
+
+def test_registry_unet2d_variant():
+    from tts_with_diffusion_model_tpu.models import get_model
+
+    m = get_model("diffusion-gaussian-unet2d", num_tokens=64)
+    assert m.config.denoiser == "conv-unet"
+    assert m.config.domain == "value"
+    assert m.config.unet_dims == ()

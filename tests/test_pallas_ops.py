@@ -1,5 +1,6 @@
 """Pallas kernel tests (interpret mode on CPU): the fused attention kernel
-must match the XLA reference path bit-for-bit up to fp tolerance."""
+must match the XLA reference path up to fp tolerance, forward and backward
+(the backward recomputes through the dense path via custom_vjp)."""
 
 import jax
 import jax.numpy as jnp
@@ -18,38 +19,58 @@ def _inputs(B=2, Tq=16, Tk=24, H=2, Dh=8, dtype=jnp.float32, seed=0):
     q = jax.random.normal(r1, (B, Tq, H, Dh), dtype)
     k = jax.random.normal(r2, (B, Tk, H, Dh), dtype)
     v = jax.random.normal(r3, (B, Tk, H, Dh), dtype)
-    mask = (jax.random.uniform(r4, (B, Tq, Tk)) > 0.3).astype(jnp.float32)
-    # ensure no fully-masked row ambiguity: open first key for every query
-    mask = mask.at[:, :, 0].set(1.0)
-    return q, k, v, mask
+    kv_mask = (jax.random.uniform(r4, (B, Tk)) > 0.3).astype(jnp.float32)
+    kv_mask = kv_mask.at[:, 0].set(1.0)  # no fully-masked rows
+    return q, k, v, kv_mask
+
+
+def _dense(q, k, v, kv_mask):
+    pair = jnp.broadcast_to(
+        kv_mask[:, None, :], (q.shape[0], q.shape[1], k.shape[1])
+    )
+    return dense_attention(q, k, v, pair_mask=pair)
 
 
 def test_flash_matches_dense_fp32():
-    q, k, v, mask = _inputs()
-    ref = dense_attention(q, k, v, pair_mask=mask)
-    got = flash_attention(q, k, v, mask, interpret=True)
+    q, k, v, km = _inputs()
+    ref = _dense(q, k, v, km)
+    got = flash_attention(q, k, v, km, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
 def test_flash_matches_dense_bf16():
-    q, k, v, mask = _inputs(dtype=jnp.bfloat16)
-    ref = dense_attention(q, k, v, pair_mask=mask)
-    got = flash_attention(q, k, v, mask, interpret=True)
+    q, k, v, km = _inputs(dtype=jnp.bfloat16)
+    ref = _dense(q, k, v, km)
+    got = flash_attention(q, k, v, km, True)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=2e-2
     )
 
 
-def test_flash_causal_mask():
-    B, T, H, Dh = 1, 12, 2, 8
-    q, k, v, _ = _inputs(B=B, Tq=T, Tk=T, H=H, Dh=Dh)
-    causal = jnp.tril(jnp.ones((T, T)))[None]
-    ref = dense_attention(q, k, v, pair_mask=causal)
-    got = flash_attention(q, k, v, causal, interpret=True)
+def test_flash_serving_shape():
+    q, k, v, km = _inputs(B=1, Tq=64, Tk=64, H=8, Dh=64)
+    ref = _dense(q, k, v, km)
+    got = flash_attention(q, k, v, km, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_flash_backward_matches_dense():
+    q, k, v, km = _inputs(B=1, Tq=8, Tk=12, H=2, Dh=8)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, km, True) ** 2).sum()
+
+    def loss_dense(q, k, v):
+        return (_dense(q, k, v, km) ** 2).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
 def test_supported_shapes():
     assert supported((1, 448, 8, 64), (1, 448, 8, 64))
+    assert supported((8, 448, 8, 64), (8, 448, 8, 64))
     assert not supported((1, 2048, 8, 64), (1, 2048, 8, 64))
     assert not supported((1, 64, 8, 63), (1, 64, 8, 63))

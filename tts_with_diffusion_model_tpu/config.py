@@ -125,6 +125,11 @@ class Config(ConfigBase):
     # (the eval body the reference disabled, ``vall_e/train.py:90-145``)
     eval_decode_audio: bool = False
 
+    # skip the per-step device sync: stats are fetched one step late so
+    # dispatch overlaps device work (train/engine.py Engines.step); off =
+    # exact per-step timing, the reference's cuda.synchronize semantics
+    async_stats: bool = False
+
     @property
     def get_spkr(self):
         return make_spkr_getter(self.spkr_name_getter)

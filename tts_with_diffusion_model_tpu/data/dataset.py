@@ -277,28 +277,60 @@ def collate(samples: list[dict], bucket: BucketSpec) -> dict:
 
 
 class DataLoader:
-    """Minimal batched loader over a VALLEDataset.
+    """Batched loader over a VALLEDataset.
 
-    Training mode draws speaker-balanced random samples forever; eval mode
-    iterates sequentially once.  (The reference uses torch DataLoader with 8
-    persistent workers, ``data.py:197-213``; host-side numpy collation is
-    cheap relative to a TPU step, and prefetch overlap is provided by the
-    trainer's one-batch-ahead device put.)
+    Training mode draws speaker-balanced random samples forever on ``nj``
+    background threads feeding a bounded queue (≡ the reference's torch
+    DataLoader with 8 persistent workers, ``data.py:197-213`` — numpy file
+    IO releases the GIL, so threads overlap; sample *selection* is IID
+    random draws, so worker interleaving is harmless).  Eval mode iterates
+    sequentially once.
     """
 
     def __init__(self, dataset: VALLEDataset, batch_size: int, bucket: BucketSpec,
-                 training: bool = True, drop_last: bool | None = None):
+                 training: bool = True, drop_last: bool | None = None,
+                 nj: int = 4, prefetch: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.bucket = bucket
         self.training = training
         self.drop_last = training if drop_last is None else drop_last
+        self.nj = max(1, nj)
+        self.prefetch = max(1, prefetch)
+
+    def _iter_threaded(self):
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                samples = [self.dataset[0] for _ in range(self.batch_size)]
+                batch = collate(samples, self.bucket)
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+
+        threads = [
+            threading.Thread(target=worker, daemon=True, name=f"loader-{i}")
+            for i in range(self.nj)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
 
     def __iter__(self):
         if self.training:
-            while True:
-                samples = [self.dataset[0] for _ in range(self.batch_size)]
-                yield collate(samples, self.bucket)
+            yield from self._iter_threaded()
         else:
             n = len(self.dataset)
             for start in range(0, n, self.batch_size):
@@ -454,7 +486,9 @@ def create_train_val_dataloader(cfg, bucket: BucketSpec | None = None):
         except Exception as e:
             _logger.info(f"Native loader unavailable ({e}); using Python loader")
     if train_dl is None:
-        train_dl = DataLoader(train_dataset, cfg.batch_size, bucket, training=True)
+        train_dl = DataLoader(
+            train_dataset, cfg.batch_size, bucket, training=True, nj=cfg.nj
+        )
     val_dl = DataLoader(val_dataset, cfg.eval_batch_size, bucket, training=False)
 
     _logger.info(str(train_dataset.phone_symmap))

@@ -33,10 +33,19 @@ def get_model(name: str, num_tokens: int = 1024, overrides: dict | None = None):
 
         from .gaussian_tts import GaussianConfig, GaussianDiffusionModel
 
-        domain = "value" if name.endswith("value") else "embedding"
-        # "-unet" selects the ar-3-style bottlenecked denoiser
-        unet = (128, 64) if "unet" in name else ()
-        cfg = GaussianConfig(n_tokens=num_tokens, domain=domain, unet_dims=unet)
+        if "unet2d" in name:
+            # ar-last's conv-UNet denoiser (UNet2DConditionModel analogue,
+            # models/unet.py); value domain by construction.
+            domain, unet, denoiser = "value", (), "conv-unet"
+        else:
+            domain = "value" if name.endswith("value") else "embedding"
+            # "-unet" selects the ar-3-style bottlenecked denoiser
+            unet = (128, 64) if "unet" in name else ()
+            denoiser = "dit"
+        cfg = GaussianConfig(
+            n_tokens=num_tokens, domain=domain, unet_dims=unet,
+            denoiser=denoiser,
+        )
         valid = {f.name for f in dataclasses.fields(GaussianConfig)}
         cfg = dataclasses.replace(cfg, **{k: v for k, v in ov.items() if k in valid})
         return GaussianDiffusionModel(cfg)

@@ -52,6 +52,11 @@ class GaussianConfig:
     # ``ar-3.py`` design: down-projection encoders → narrow DiT blocks →
     # up-projection, ``ar-3.py:212-252``).  Empty = plain DiT (ar-dit/ar-4).
     unet_dims: tuple = ()
+    # Denoiser architecture: "dit" (default) or "conv-unet" — the
+    # UNet2DConditionModel analogue of ``ar-last.py:186`` (value domain
+    # only; see models/unet.py).
+    denoiser: str = "dit"
+    unet_channels: tuple = (64, 128, 256)
 
 
 class GaussianDenoiser(nn.Module):
@@ -163,18 +168,46 @@ class GaussianDiffusionModel:
     def __init__(self, config: GaussianConfig = GaussianConfig(), dtype=jnp.bfloat16):
         self.config = config
         self.in_dim = config.d_model if config.domain == "embedding" else 1
-        self.denoiser = GaussianDenoiser(
-            in_dim=self.in_dim,
-            d_model=config.d_model,
-            n_heads=config.n_heads,
-            n_layers=config.n_layers,
-            n_classes=config.n_tokens + 1,
-            n_prom_levels=config.n_prom_levels,
-            timesteps=config.timesteps,
-            unet_dims=tuple(config.unet_dims),
-            dtype=dtype,
-        )
+        if config.denoiser == "conv-unet":
+            if config.domain != "value":
+                raise ValueError("conv-unet denoiser requires domain='value'")
+            from .unet import ConvUNetDenoiser
+
+            self.denoiser = ConvUNetDenoiser(
+                in_dim=self.in_dim,
+                d_model=config.d_model,
+                n_heads=config.n_heads,
+                n_classes=config.n_tokens + 1,
+                n_prom_levels=config.n_prom_levels,
+                timesteps=config.timesteps,
+                channels=tuple(config.unet_channels),
+                dtype=dtype,
+            )
+        else:
+            self.denoiser = GaussianDenoiser(
+                in_dim=self.in_dim,
+                d_model=config.d_model,
+                n_heads=config.n_heads,
+                n_layers=config.n_layers,
+                n_classes=config.n_tokens + 1,
+                n_prom_levels=config.n_prom_levels,
+                timesteps=config.timesteps,
+                unet_dims=tuple(config.unet_dims),
+                dtype=dtype,
+            )
         self.process = GaussianDiffusion.create(config.timesteps, config.schedule)
+
+    def _conds(self, params, text, text_mask, proms, prom_mask):
+        """Denoiser-agnostic conditioning state: a 4-tuple matching the
+        denoise method's trailing arguments for either architecture."""
+        out = self.denoiser.apply(
+            params, text, text_mask, proms, prom_mask, method="conds"
+        )
+        if self.config.denoiser == "conv-unet":
+            cond, cond_mask = out
+            return (cond, cond_mask, None, None)
+        tc, sc = out
+        return (tc, text_mask, sc, prom_mask)
 
     def init(self, rng):
         c = self.config
@@ -240,10 +273,7 @@ class GaussianDiffusionModel:
         x = jax.random.normal(r0, (B, c.resp_len, self.in_dim), jnp.float32)
         x = x * rm[..., None]
 
-        tc, sc = self.denoiser.apply(
-            params, text, text_mask, proms, prom_mask,
-            method=GaussianDenoiser.conds,
-        )
+        cond_state = self._conds(params, text, text_mask, proms, prom_mask)
         ts = jnp.arange(c.timesteps - 1, -1, -1)
         rngs = jax.random.split(rng, ts.shape[0])
 
@@ -251,8 +281,7 @@ class GaussianDiffusionModel:
             t_scalar, r = inp
             t = jnp.full((B,), t_scalar, jnp.int32)
             eps = self.denoiser.apply(
-                params, x_t, rm, t, tc, text_mask, sc, prom_mask,
-                method=GaussianDenoiser.denoise,
+                params, x_t, rm, t, *cond_state, method="denoise",
             )
             z = jax.random.normal(r, x_t.shape, jnp.float32)
             x_prev = self.process.p_sample(eps, x_t, t, z)

@@ -6,9 +6,9 @@ math runs as one fused region under XLA; for longer sequences a Pallas
 flash-attention kernel (``flash_attention``) avoids materializing the
 (B, T, T, H) score tensor in HBM.
 
-``dense_attention`` is the semantically-exact path used by default for the
-short (≤ ~1k token) sequences this workload produces; the Pallas kernel is
-wired in via ``use_flash`` when shapes are tile-aligned.
+``dense_attention`` is the semantically-exact pair-mask path (used by the
+causal packed-layout backbone); ``cross_attention`` routes through the
+Pallas kernel on TPU when shapes fit (see its docstring).
 """
 
 from __future__ import annotations
@@ -19,19 +19,6 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
-
-_backend_cache: str | None = None
-
-
-def _on_tpu() -> bool:
-    global _backend_cache
-    if _backend_cache is None:
-        try:
-            _backend_cache = jax.devices()[0].platform
-        except Exception:
-            _backend_cache = "cpu"
-    return _backend_cache in ("tpu", "axon")
-
 
 def dense_attention(
     q: jax.Array,
@@ -49,24 +36,6 @@ def dense_attention(
     Returns:
         (B, Tq, H, Dh)
     """
-    # Optional: the fused Pallas kernel keeps scores in VMEM on TPU.
-    # Opt-in via TTS_TPU_FLASH_ATTENTION=1 — measured on v5e, XLA's fused
-    # path wins at the B=1, T≤448 shapes of the D3PM sampler (5249 vs 4303
-    # tok/s end-to-end), so the default stays XLA until the kernel is tuned
-    # for small-batch grids.
-    import os
-
-    if (
-        os.environ.get("TTS_TPU_FLASH_ATTENTION") == "1"
-        and bias is None
-        and pair_mask is not None
-        and _on_tpu()
-    ):
-        from .flash_attention import flash_attention, supported
-
-        if supported(q.shape, k.shape):
-            return flash_attention(q, k, v, pair_mask)
-
     scale = q.shape[-1] ** -0.5
     # fp32 scores for a stable softmax regardless of the activation dtype.
     scores = jnp.einsum(
@@ -93,11 +62,32 @@ def cross_attention(
     v: jax.Array,
     q_mask: jax.Array | None = None,
     kv_mask: jax.Array | None = None,
+    use_flash: bool = False,
 ) -> jax.Array:
     """Cross attention with independent query/key masks.
 
     q: (B, Tq, H, Dh); k, v: (B, Tk, H, Dh); masks (B, Tq) / (B, Tk).
+
+    ``use_flash=True`` routes through the fused Pallas kernel
+    (``ops/flash_attention.py``: layout-preserving blocks, vector masks,
+    dense-recompute backward).  Default is the XLA path: measured on the
+    attached chip at this workload's shapes, XLA's fused attention wins —
+    B=1/T=448 p50 78 ms vs 93 ms, B=8 381 ms vs 504 ms per 99-step
+    generation — because the per-(batch) kernel serializes head matmuls the
+    MXU would otherwise batch, and the fusion only saves ~6 MB of HBM
+    score traffic per call at T≤448.  The kernel remains correct + tested
+    (``tests/test_pallas_ops.py``) and is the starting point if sequence
+    lengths ever outgrow VMEM-resident scores (T ≳ 2k), where the HBM
+    round-trip it eliminates dominates.
     """
+    if use_flash:
+        from .flash_attention import flash_attention, supported
+
+        if supported(q.shape, k.shape):
+            B, Tk = k.shape[0], k.shape[1]
+            km = kv_mask if kv_mask is not None else jnp.ones((B, Tk))
+            return flash_attention(q, k, v, km)
+
     pair = None
     if q_mask is not None or kv_mask is not None:
         B, Tq = q.shape[:2]

@@ -179,7 +179,11 @@ class Engine:
     def lr(self) -> float:
         return float(self.schedule(self.step))
 
-    def train_batch(self, batch: dict, rng: jax.Array) -> dict:
+    def train_batch(self, batch: dict, rng: jax.Array, sync: bool = True) -> dict:
+        """One optimizer step.  ``sync=True`` fetches scalar stats to host
+        floats immediately (per-step host sync, the reference's behavior);
+        ``sync=False`` returns the device scalars so the caller can overlap
+        the fetch with the next step's dispatch (see ``Engines.step``)."""
         dst = self._bsh if self.mesh.size > 1 else self.mesh.devices.flat[0]
         arrays = {
             k: jax.device_put(v, dst)
@@ -191,9 +195,10 @@ class Engine:
                 self.params, self.opt_state, arrays, rng
             )
         self.step += 1
-        out = {f"{self.name}.loss": float(loss), "lr": self.lr()}
-        for k, v in stats.items():
-            out[k] = float(v) if hasattr(v, "item") or jnp.isscalar(v) else v
+        out = {f"{self.name}.loss": loss, "lr": self.lr()}
+        out.update(stats)
+        if sync:
+            out = _to_floats(out)
         return out
 
     def diagnose(self, batch: dict, rng: jax.Array, diagnostic):
@@ -270,12 +275,20 @@ class Engine:
         return True
 
 
+def _to_floats(stats: dict) -> dict:
+    return {
+        k: float(v) if hasattr(v, "item") or jnp.isscalar(v) else v
+        for k, v in stats.items()
+    }
+
+
 class Engines(dict):
     """Multi-engine step + combined stats (≡ ``engines.py:68-185``)."""
 
     def setup(self, cfg):
         self.cfg = cfg
         self._rng = jax.random.PRNGKey(getattr(cfg, "seed", 0))
+        self._pending = None  # lagged device stats when cfg.async_stats
 
     @property
     def global_step(self) -> int:
@@ -292,13 +305,22 @@ class Engines(dict):
     def step(self, batch: dict) -> dict:
         """One step across all engines with wall-clock timing
         (≡ ``engines.py:121-166``; the feeder is baked into each engine's
-        jitted loss, the idiomatic JAX equivalent)."""
+        jitted loss, the idiomatic JAX equivalent).
+
+        With ``cfg.async_stats`` on, the per-step device sync is skipped:
+        stats come back lagged by one step (step N's line is emitted while
+        step N+1 runs), so dispatch never serializes against the device and
+        ``elapsed_time`` measures dispatch-to-dispatch.  Default off —
+        exact per-step timing, the reference's ``cuda.synchronize``
+        semantics (``engines.py:127-128,149-151``).
+        """
+        async_stats = getattr(self.cfg, "async_stats", False)
         t0 = time.time()
         stats: dict = {}
         for name, engine in self.items():
             self._rng, sub = jax.random.split(self._rng)
             try:
-                engine_stats = engine.train_batch(batch, sub)
+                engine_stats = engine.train_batch(batch, sub, sync=False)
             except jax.errors.JaxRuntimeError as e:
                 if "RESOURCE_EXHAUSTED" in str(e) and getattr(
                     self.cfg, "save_on_oom", True
@@ -308,10 +330,21 @@ class Engines(dict):
                 raise
             stats |= engine_stats
             stats[f"{name}.engine_step"] = engine.global_step
+        stats["global_step"] = self.global_step
+
+        if async_stats:
+            pending, self._pending = self._pending, (stats, time.time())
+            if pending is None:
+                return {"global_step": self.global_step, "wall_time": time.time()}
+            out = _to_floats(pending[0])  # device work long since finished
+            out["elapsed_time"] = time.time() - t0
+            out["wall_time"] = pending[1]
+            return out
+
         jax.block_until_ready(
             next(iter(self.values())).params
         )
-        stats["elapsed_time"] = time.time() - t0
-        stats["wall_time"] = time.time()
-        stats["global_step"] = self.global_step
-        return stats
+        out = _to_floats(stats)
+        out["elapsed_time"] = time.time() - t0
+        out["wall_time"] = time.time()
+        return out

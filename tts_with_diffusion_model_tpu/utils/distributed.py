@@ -22,13 +22,24 @@ def init_distributed() -> bool:
     Analogue of ``deepspeed.comm.init_distributed`` (``train.py:29-31``): when
     coordinator env vars are present, join the cluster; otherwise run as a
     world of one.  Returns True when multi-host initialization happened.
+
+    ``JAX_COORDINATOR_ADDRESS`` (+ optional ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID``) are passed explicitly so the same bootstrap works on
+    bare multi-process CPU clusters (the test harness) and TPU pods (where
+    the runtime fills in the rest).
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
-    ):
+    )
+    if addr:
         import jax
 
-        jax.distributed.initialize()
+        kwargs = {"coordinator_address": addr}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if os.environ.get("JAX_PROCESS_ID"):
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kwargs)
         return True
     return False
 
@@ -103,10 +114,27 @@ def broadcast_object(obj, src: int = 0):
     """Broadcast a small python object from the leader to all processes.
 
     Analogue of ``broadcast_object_list`` used for the trainer's stdin command
-    fan-out (``utils/trainer.py:95``).
+    fan-out (``utils/trainer.py:95``).  ``broadcast_one_to_all`` only moves
+    array pytrees, so the object is pickled into a uint8 buffer and sent in
+    two phases (length, then payload) — arbitrary small commands/configs
+    travel, not just arrays.
     """
     if world_size() <= 1:
         return obj
+    import pickle
+
+    import numpy as np
     from jax.experimental import multihost_utils
 
-    return multihost_utils.broadcast_one_to_all(obj, is_source=global_rank() == src)
+    is_src = global_rank() == src
+    payload = pickle.dumps(obj) if is_src else b""
+    n = int(
+        multihost_utils.broadcast_one_to_all(
+            np.int64(len(payload)), is_source=is_src
+        )
+    )
+    buf = np.zeros((n,), np.uint8)
+    if is_src:
+        buf[:] = np.frombuffer(payload, np.uint8)
+    out = multihost_utils.broadcast_one_to_all(buf, is_source=is_src)
+    return pickle.loads(np.asarray(out).tobytes())
