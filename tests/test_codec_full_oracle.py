@@ -104,3 +104,39 @@ def test_verify_battery_passes_on_converted(oracle):
     assert report["ok"], report
     assert report["codes_in_range"] and report["finite_audio"]
     assert report["distinct_codes"] > 1
+
+
+def test_converter_accepts_alternate_key_layouts(oracle):
+    """The HF transformers EncodecModel layout and torch>=2.1 parametrized
+    weight-norm keys convert to the identical parameter tree."""
+    import re
+
+    model, params = oracle
+    sd = model.checkpoint_state_dict()
+    hf_sd = {}
+    for k, v in sd.items():
+        k = re.sub(r"^(encoder|decoder)\.model\.", r"\1.layers.", k)
+        k = re.sub(
+            r"^quantizer\.vq\.layers\.(\d+)\._codebook\.embed$",
+            r"quantizer.layers.\1.codebook.embed",
+            k,
+        )
+        k = k.replace(".weight_g", ".parametrizations.weight.original0")
+        k = k.replace(".weight_v", ".parametrizations.weight.original1")
+        hf_sd[k] = v
+    assert not any(".model." in k or "weight_g" in k for k in hf_sd)
+
+    converted = convert_state_dict(hf_sd)
+
+    def flat(d, p=""):
+        for k, v in d.items():
+            kk = f"{p}/{k}"
+            if isinstance(v, dict):
+                yield from flat(v, kk)
+            else:
+                yield kk, v
+
+    a, b = dict(flat(params)), dict(flat(converted))
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])

@@ -592,3 +592,57 @@ def test_dit_reverse_chain_parity(ref_d3pm):
         match = (my_next == x_next_ref.numpy()).mean()
         assert match >= 0.995, (t_val, match)
         x_ref = x_next_ref.long()  # teacher-force the reference's trajectory
+
+
+def test_import_reference_pickled_checkpoint(ref, tmp_path):
+    """The migration CLI (compat/import_reference.py) converts the
+    reference's pickled export format (whole module + stapled symmaps,
+    ``/root/reference/vall_e/export.py:15-20``) into a bundle our CLI
+    loads, with logits parity on fixed inputs."""
+    from tts_with_diffusion_model_tpu.__main__ import build_model
+    from tts_with_diffusion_model_tpu.compat.import_reference import (
+        import_checkpoint,
+    )
+    from tts_with_diffusion_model_tpu.export import load_bundle
+
+    torch.manual_seed(31)
+    tm_model = ref.ar.AR(
+        n_tokens=N_TOKENS, d_model=D_MODEL, n_heads=N_HEADS,
+        n_layers=N_LAYERS, p_dropout=0.0,
+    ).eval()
+    tm_model.phone_symmap = {"<s>": 1, "</s>": 2, "HH": 3}
+    tm_model.spkr_symmap = {"sp01": 0}
+    torch.save(tm_model, tmp_path / "ar.pt")
+
+    meta = import_checkpoint(tmp_path / "ar.pt", tmp_path / "bundle",
+                             n_heads=N_HEADS)
+    assert meta["model"] == "ar" and meta["num_tokens"] == N_TOKENS
+
+    params, meta2, phone_symmap, spkr_symmap = load_bundle(tmp_path / "bundle")
+    assert phone_symmap["HH"] == 3 and spkr_symmap["sp01"] == 0
+    model = build_model(meta2)
+    assert isinstance(model, AR)
+
+    text_list, proms_list, resp_list, arrays = _ragged_batch(32)
+    store = _capture_classifier(tm_model)
+    with torch.no_grad():
+        tm_model(text_list, proms_list, resp_list)
+    ref_h = store["h"].numpy()
+
+    # build_model returns bf16-default modules; rebuild at fp32 for parity
+    model = AR(
+        n_tokens=meta2["num_tokens"], d_model=meta2["d_model"],
+        n_heads=meta2["n_heads"], n_layers=meta2["n_layers"],
+        p_dropout=0.0, remat=False, dtype=jnp.float32,
+    )
+    logits, _ = model.apply(
+        params, arrays["text"], arrays["tm"], arrays["proms"], arrays["pm"],
+        arrays["resp"], arrays["rm"],
+    )
+    logits = np.asarray(logits)
+    merged = _merged_valid_mask(arrays)
+    for i in range(merged.shape[0]):
+        mine = logits[i][merged[i] > 0]
+        np.testing.assert_allclose(
+            mine, ref_h[i][: mine.shape[0]], rtol=1e-3, atol=2e-3
+        )

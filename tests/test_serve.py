@@ -113,3 +113,64 @@ def test_http_api(zoo, synth):
         assert "error" in json.loads(r.read())
     finally:
         server.shutdown()
+
+
+def test_synthesize_batch_multi_request(zoo):
+    """max_batch=2: one device batch serves two requests; padding rows are
+    discarded; each request gets its own wav."""
+    from tts_with_diffusion_model_tpu.serve import Synthesizer
+
+    synth = Synthesizer(
+        zoo / "ar", zoo / "nar",
+        text_len=24, prom_len=24, max_ar_steps=8, bf16=False, max_batch=2,
+    )
+    outs = synth.synthesize_batch([
+        ("make some noise", zoo / "ref.wav", 1),
+        ("one two", zoo / "ref.wav", 2),
+    ])
+    assert len(outs) == 2
+    for wav, sr in outs:
+        assert sr == 24_000 and wav.shape[0] > 0
+    # under-full batch also works (padded internally to max_batch)
+    (wav, sr), = synth.synthesize_batch([("one", zoo / "ref.wav", 3)])
+    assert wav.shape[0] > 0
+
+
+def test_batcher_coalesces_concurrent_requests(zoo):
+    """Two threads submitting within the window ride one device batch and
+    both get results."""
+    from tts_with_diffusion_model_tpu.serve import Batcher, Synthesizer
+
+    synth = Synthesizer(
+        zoo / "ar", zoo / "nar",
+        text_len=24, prom_len=24, max_ar_steps=8, bf16=False, max_batch=2,
+    )
+    batcher = Batcher(synth, window_ms=200.0)
+    results = {}
+
+    def call(name, text, seed):
+        results[name] = batcher.submit(text, zoo / "ref.wav", seed)
+
+    ts = [
+        threading.Thread(target=call, args=("a", "make some noise", 1)),
+        threading.Thread(target=call, args=("b", "one two", 2)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert set(results) == {"a", "b"}
+    for wav, sr in results.values():
+        assert sr == 24_000 and wav.shape[0] > 0
+
+
+def test_batcher_propagates_errors(zoo):
+    from tts_with_diffusion_model_tpu.serve import Batcher, Synthesizer
+
+    synth = Synthesizer(
+        zoo / "ar", zoo / "nar",
+        text_len=24, prom_len=24, max_ar_steps=8, bf16=False, max_batch=2,
+    )
+    batcher = Batcher(synth, window_ms=1.0)
+    with pytest.raises(Exception):
+        batcher.submit("", zoo / "missing.wav", 0)

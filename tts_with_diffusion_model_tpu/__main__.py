@@ -74,6 +74,7 @@ def build_model(meta):
         cfg_kw = {k: meta[k] for k in (
             "d_model", "n_heads", "n_layers", "timesteps", "resp_len",
             "text_len", "prom_len", "gen_len",
+            "tower_ffn_dim", "tower_act", "resp_pe",  # imported ref ckpts
         ) if k in meta}
         return DiffusionModel(DiffusionConfig(n_classes=num_tokens + 1, **cfg_kw))
     cls = AR if name.startswith("ar") else NAR

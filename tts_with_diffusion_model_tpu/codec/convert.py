@@ -79,6 +79,35 @@ def _resblock(sd: dict, prefix: str) -> dict:
     return out
 
 
+def normalize_checkpoint_keys(sd: dict) -> dict:
+    """Canonicalize the known public layouts of the EnCodec-24kHz weights
+    onto the official ``encodec`` package's key names:
+
+      - HF ``transformers`` ``EncodecModel``: ``encoder.layers.N...`` and
+        ``quantizer.layers.q.codebook.embed`` instead of
+        ``encoder.model.N...`` / ``quantizer.vq.layers.q._codebook.embed``.
+      - torch ≥ 2.1 parametrized weight norm:
+        ``...parametrizations.weight.original0/original1`` instead of
+        ``...weight_g/weight_v``.
+
+    Returns a new dict; unknown keys pass through untouched.
+    """
+    import re
+
+    out = {}
+    for k, v in sd.items():
+        k = re.sub(r"^(encoder|decoder)\.layers\.", r"\1.model.", k)
+        k = re.sub(
+            r"^quantizer\.layers\.(\d+)\.codebook\.embed$",
+            r"quantizer.vq.layers.\1._codebook.embed",
+            k,
+        )
+        k = k.replace(".parametrizations.weight.original0", ".weight_g")
+        k = k.replace(".parametrizations.weight.original1", ".weight_v")
+        out[k] = v
+    return out
+
+
 def verify_params(params: dict) -> dict:
     """Checkpoint-validation battery for converted codec weights.
 
@@ -131,7 +160,12 @@ def verify_params(params: dict) -> dict:
 
 
 def convert_state_dict(sd: dict) -> dict:
-    """encodec state_dict (numpy tensors) → flax param tree for EncodecModel."""
+    """encodec state_dict (numpy tensors) → flax param tree for EncodecModel.
+
+    Accepts the official ``encodec`` layout, the HF ``transformers``
+    ``EncodecModel`` layout, and torch ≥ 2.1 parametrized weight norm
+    (see ``normalize_checkpoint_keys``)."""
+    sd = normalize_checkpoint_keys(sd)
     n_ratios = 4
     enc = {"conv_in": _conv(sd, "encoder.model.0")}
     for i in range(n_ratios):
@@ -163,6 +197,12 @@ def convert_state_dict(sd: dict) -> dict:
 
 
 def load_torch_checkpoint(path: str | Path) -> dict:
+    """Load a checkpoint file: the official ``.th`` release, a plain torch
+    state_dict, or an HF ``.safetensors`` file."""
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(str(path)))
     import torch
 
     obj = torch.load(str(path), map_location="cpu", weights_only=True)

@@ -47,6 +47,11 @@ class DiffusionConfig:
     prom_len: int = 398
     gen_len: int = 350  # generated sequence length (``:699``)
     train_mode: str = "sampled"  # "sampled" | "all_t"
+    # Denoiser architecture knobs (reference-parity values for imported
+    # reference checkpoints: 2048 / "relu" / False — see models/dit.py)
+    tower_ffn_dim: int | None = None
+    tower_act: str = "gelu"
+    resp_pe: bool = True
 
 
 class DiffusionModel:
@@ -67,6 +72,9 @@ class DiffusionModel:
             n_prom_levels=config.n_prom_levels,
             timesteps=config.timesteps,
             dtype=dtype,
+            tower_ffn_dim=config.tower_ffn_dim,
+            tower_act=config.tower_act,
+            resp_pe=config.resp_pe,
         )
         self.d3pm = D3PM.create(
             timesteps=config.timesteps,

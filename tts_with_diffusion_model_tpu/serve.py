@@ -7,15 +7,23 @@ provides:
   - ``Synthesizer``: bundles loaded once, bf16 serving precision, every
     request padded to **fixed buckets** so all device programs are compiled
     exactly once (``warmup()`` pre-compiles them);
+  - **micro-batching** (``max_batch > 1``): concurrent requests are coalesced
+    into one fixed-size device batch (padded with dummy rows) within a small
+    window — measured on-chip, B=8 yields ~1.6× the tokens/sec/chip of
+    sequential B=1 generations (PARITY.md), so a loaded server trades a few
+    ms of queueing for real throughput;
   - a stdlib-only threaded HTTP API:
         GET  /healthz                         → {"status": "ok"}
         POST /tts  {"text": ..., "reference": <wav path>, "seed": 0}
                                                → audio/wav bytes
     ``python -m tts_with_diffusion_model_tpu.serve --ar-ckpt zoo/ar
-    --nar-ckpt zoo/nar --port 8400``
+    --nar-ckpt zoo/nar --port 8400 [--max-batch 8 --batch-window-ms 10]``
 
 Request handling is serialized around the single accelerator (the HTTP
-layer is threaded for I/O; device work takes a lock).
+layer is threaded for I/O; device work goes through the batcher / a lock).
+Sampling note: in batch mode the device RNG key is derived by folding every
+request's seed into one key, so a request's output depends on its batch
+cohort; per-seed reproducibility holds at ``max_batch=1``.
 """
 
 from __future__ import annotations
@@ -24,7 +32,9 @@ import argparse
 import io
 import json
 import logging
+import queue
 import threading
+import time
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -50,6 +60,7 @@ class Synthesizer:
         temperature: float = 1.0,
         nar_temperature: float = 0.2,
         bf16: bool = True,
+        max_batch: int = 1,
     ):
         from .__main__ import build_model
         from .codec.encodec import load_codec
@@ -71,6 +82,7 @@ class Synthesizer:
         self.max_ar_steps = max_ar_steps
         self.temperature = temperature
         self.nar_temperature = nar_temperature
+        self.max_batch = max(1, max_batch)
         self._lock = threading.Lock()
 
         from .models.diffusion import DiffusionModel
@@ -95,11 +107,9 @@ class Synthesizer:
         mask[0, :n] = 1
         return out, mask
 
-    def synthesize(self, text: str, reference: str | Path, seed: int = 0):
-        """Returns (wav float32 (T,), sample_rate)."""
+    def _prepare(self, text: str, reference: str | Path) -> dict:
+        """Host-side request prep: g2p + codec-encode + bucket padding."""
         from .emb import g2p, qnt
-        from .models.ar import ar_generate
-        from .models.nar import nar_generate
         from .text.symmap import phones_to_ids
 
         phones = g2p.encode(text)
@@ -107,52 +117,133 @@ class Synthesizer:
         if not ids:
             raise ValueError("no usable phones in input text")
         proms = qnt.encode_from_file(reference).T  # (t, 8)
-
         text_a, text_m = self._pad(np.asarray(ids, np.int32), self.text_len)
         prom_a, prom_m = self._pad(proms.astype(np.int32), self.prom_len, (8,))
+        return dict(text=text_a, text_mask=text_m, proms=prom_a, prom_mask=prom_m)
 
-        rng = jax.random.PRNGKey(seed)
+    def synthesize_batch(
+        self, requests: list[tuple[str, str | Path, int]]
+    ) -> list[tuple[np.ndarray, int]]:
+        """Synthesize up to ``max_batch`` requests in one device batch.
+
+        The batch is always padded to ``max_batch`` with copies of row 0
+        (discarded), so exactly one program per stage is ever compiled.
+        """
+        from .models.ar import ar_generate
+        from .models.nar import nar_generate
+
+        if not 1 <= len(requests) <= self.max_batch:
+            raise ValueError(f"need 1..{self.max_batch} requests")
+        prepared = [self._prepare(t, ref) for t, ref, _ in requests]
+        n_req = len(prepared)
+        rows = prepared + [prepared[0]] * (self.max_batch - n_req)
+
+        def stack(key):
+            return jnp.asarray(np.concatenate([r[key] for r in rows], axis=0))
+
+        text_a, text_m = stack("text"), stack("text_mask")
+        prom_a, prom_m = stack("proms"), stack("prom_mask")
+
+        rng = jax.random.PRNGKey(int(requests[0][2]))
+        for _, _, seed in requests[1:]:
+            rng = jax.random.fold_in(rng, int(seed))
         r1, r2 = jax.random.split(rng)
 
         with self._lock:
             if self.is_diffusion:
                 toks = self._first_gen(
-                    self.first_params, jnp.asarray(text_a), jnp.asarray(text_m),
-                    jnp.asarray(prom_a), jnp.asarray(prom_m), r1,
+                    self.first_params, text_a, text_m, prom_a, prom_m, r1
                 )[:, : self.gen_len]
                 lvl0 = np.asarray(toks, np.int32)
                 n_resp = self.gen_len
+                lens = [self.gen_len] * self.max_batch
             else:
-                toks, lens = ar_generate(
-                    self.first, self.first_params, jnp.asarray(text_a),
-                    jnp.asarray(text_m), jnp.asarray(prom_a), jnp.asarray(prom_m),
-                    r1, max_steps=self.max_ar_steps,
+                toks, lens_a = ar_generate(
+                    self.first, self.first_params, text_a, text_m, prom_a,
+                    prom_m, r1, max_steps=self.max_ar_steps,
                     sampling_temperature=self.temperature,
                 )
                 n_resp = self.max_ar_steps  # static bucket; mask below
-                lvl0 = np.zeros((1, n_resp), np.int32)
-                n = int(lens[0])
-                lvl0[0, :n] = np.asarray(toks[0, :n])
+                lens = [max(int(n), 1) for n in np.asarray(lens_a)]
+                lvl0 = np.zeros((self.max_batch, n_resp), np.int32)
+                toks = np.asarray(toks)
+                for i, n in enumerate(lens):
+                    lvl0[i, :n] = toks[i, :n]
 
-            rm = np.zeros((1, n_resp), np.float32)
-            n_valid = (
-                self.gen_len if self.is_diffusion else max(int(lens[0]), 1)
-            )
-            rm[0, :n_valid] = 1
+            rm = np.zeros((self.max_batch, n_resp), np.float32)
+            for i, n in enumerate(lens):
+                rm[i, :n] = 1
             codes = nar_generate(
-                self.nar, self.nar_params, jnp.asarray(text_a),
-                jnp.asarray(text_m), jnp.asarray(prom_a), jnp.asarray(prom_m),
+                self.nar, self.nar_params, text_a, text_m, prom_a, prom_m,
                 jnp.asarray(lvl0), jnp.asarray(rm), r2,
                 sampling_temperature=self.nar_temperature,
             )
-            codes = np.asarray(codes[0][:n_valid])  # (t, 8)
-            wav, sr = self.codec.decode(codes.T)
-        return wav, sr
+            codes = np.asarray(codes)
+            out = []
+            for i in range(n_req):
+                wav, sr = self.codec.decode(codes[i, : lens[i]].T)
+                out.append((wav, sr))
+        return out
+
+    def synthesize(self, text: str, reference: str | Path, seed: int = 0):
+        """Returns (wav float32 (T,), sample_rate)."""
+        return self.synthesize_batch([(text, reference, seed)])[0]
 
     def warmup(self, reference: str | Path):
         """Compile every device program once with bucket shapes."""
         self.synthesize("warm up the compiler", reference)
         _logger.info("Synthesizer warm")
+
+
+class Batcher:
+    """Coalesce concurrent requests into device batches.
+
+    The first queued request opens a window of ``window_ms``; whatever else
+    arrives before it closes (up to ``synth.max_batch``) rides the same
+    device batch.  ``submit`` blocks until the request's result is ready.
+    """
+
+    def __init__(self, synth: Synthesizer, window_ms: float = 10.0):
+        self.synth = synth
+        self.window_s = window_ms / 1e3
+        self.q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, text: str, reference: str | Path, seed: int = 0):
+        item = {
+            "req": (text, reference, seed),
+            "event": threading.Event(),
+            "result": None,
+            "error": None,
+        }
+        self.q.put(item)
+        item["event"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _loop(self):
+        while True:
+            batch = [self.q.get()]
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.synth.max_batch:
+                remain = deadline - time.monotonic()
+                if remain <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=remain))
+                except queue.Empty:
+                    break
+            try:
+                outs = self.synth.synthesize_batch([b["req"] for b in batch])
+                for b, out in zip(batch, outs):
+                    b["result"] = out
+            except Exception as e:  # noqa: BLE001 — delivered to the caller
+                for b in batch:
+                    b["error"] = e
+            for b in batch:
+                b["event"].set()
 
 
 def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
@@ -166,7 +257,14 @@ def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
     return buf.getvalue()
 
 
-def make_server(synth: Synthesizer, host: str = "127.0.0.1", port: int = 8400):
+def make_server(
+    synth: Synthesizer,
+    host: str = "127.0.0.1",
+    port: int = 8400,
+    batcher: Batcher | None = None,
+):
+    submit = batcher.submit if batcher is not None else synth.synthesize
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             _logger.info("%s - %s", self.address_string(), fmt % args)
@@ -189,8 +287,8 @@ def make_server(synth: Synthesizer, host: str = "127.0.0.1", port: int = 8400):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
-                wav, sr = synth.synthesize(
-                    req["text"], req["reference"], seed=int(req.get("seed", 0))
+                wav, sr = submit(
+                    req["text"], req["reference"], int(req.get("seed", 0))
                 )
                 body = wav_bytes(wav, sr)
                 self.send_response(200)
@@ -217,14 +315,22 @@ def main():
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8400)
     parser.add_argument("--warmup-reference", type=Path, default=None)
+    parser.add_argument("--max-batch", type=int, default=1)
+    parser.add_argument("--batch-window-ms", type=float, default=10.0)
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
-    synth = Synthesizer(args.ar_ckpt, args.nar_ckpt)
+    synth = Synthesizer(args.ar_ckpt, args.nar_ckpt, max_batch=args.max_batch)
     if args.warmup_reference:
         synth.warmup(args.warmup_reference)
-    server = make_server(synth, args.host, args.port)
-    _logger.info(f"Serving on http://{args.host}:{args.port}")
+    batcher = (
+        Batcher(synth, args.batch_window_ms) if args.max_batch > 1 else None
+    )
+    server = make_server(synth, args.host, args.port, batcher)
+    _logger.info(
+        f"Serving on http://{args.host}:{args.port} "
+        f"(max_batch={args.max_batch})"
+    )
     server.serve_forever()
 
 
