@@ -316,9 +316,18 @@ def test_nar_greedy_levels_token_exact(ref, monkeypatch):
 def ref_d3pm(ref):
     """The reference D3PM model (d_model hard-coded to 32 in its __init__,
     ``ar_discrete.py:208``) + our dense-matrix D3PM built from the exact
-    fp16 matrices the reference materializes."""
-    torch.manual_seed(0)
-    model = ref.ar_discrete.AR(512, 100, 1024, 8, 8, 6).eval()
+    fp16 matrices the reference materializes.
+
+    The fp16 cumulative transition products take minutes on this CPU, so
+    they are disk-cached (``reference_d3pm``); delete the cache file (or
+    pass ``cache_path=None``) to force the from-scratch construction the
+    cache was recorded from."""
+    from tts_with_diffusion_model_tpu.compat.reference import reference_d3pm
+
+    cache = os.path.join(
+        os.path.dirname(__file__), "fixtures", "oracle_d3pm_mats.npz"
+    )
+    model = reference_d3pm(ref, cache_path=cache, seed=0)
     mine = D3PM(
         timesteps=model.timesteps,
         num_classes=1025,

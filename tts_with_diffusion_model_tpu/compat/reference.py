@@ -166,6 +166,66 @@ def load_reference(root: str = DEFAULT_REFERENCE_ROOT) -> SimpleNamespace:
     return ns
 
 
+def reference_d3pm(
+    ref: SimpleNamespace | None = None,
+    *,
+    cache_path: str | None = None,
+    seed: int = 0,
+):
+    """Construct the reference D3PM ``ar_discrete.AR(512, 100, 1024, 8, 8, 6)``
+    on CPU, optionally disk-caching its fp16 transition matrices.
+
+    The reference ``__init__`` cumulates 99 fp16 ``tensordot`` products of
+    1025×1025 matrices (``ar_discrete.py:268-277``) — minutes of wall time on
+    a CPU host because torch's fp16 CPU matmul takes a slow path.  The
+    matrices are deterministic (no RNG involved), so with ``cache_path`` set
+    they are computed once and stored compressed (absorbing-state transition
+    matrices are diagonal-plus-one-column, so they compress to ~nothing);
+    later constructions stub out ``torch.tensordot`` during ``__init__`` and
+    restore the exact cached fp16 values.  Pass ``cache_path=None`` (or
+    delete the file) to force the full recomputation.
+
+    Weights are initialized under ``torch.manual_seed(seed)`` either way
+    (matrix construction consumes no RNG, so cached and uncached builds have
+    identical parameters).
+    """
+    import torch
+
+    if ref is None:
+        ref = load_reference()
+
+    cached = None
+    if cache_path is not None and os.path.exists(cache_path):
+        with np.load(cache_path) as z:
+            cached = {k: z[k] for k in ("betas", "q_onestep_mats", "q_mats")}
+
+    torch.manual_seed(seed)
+    if cached is not None:
+        real_tensordot = torch.tensordot
+        torch.tensordot = lambda a, b, dims: a  # skip the O(T·K³) fp16 loop
+        try:
+            model = ref.ar_discrete.AR(512, 100, 1024, 8, 8, 6).eval()
+        finally:
+            torch.tensordot = real_tensordot
+        model.betas = torch.from_numpy(cached["betas"])
+        model.q_onestep_mats = torch.from_numpy(cached["q_onestep_mats"])
+        model.q_mats = torch.from_numpy(cached["q_mats"])
+        model.transpose_q_onestep_mats = torch.transpose(
+            model.q_onestep_mats, 1, 2
+        )
+    else:
+        model = ref.ar_discrete.AR(512, 100, 1024, 8, 8, 6).eval()
+        if cache_path is not None:
+            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+            np.savez_compressed(
+                cache_path,
+                betas=model.betas.numpy(),
+                q_onestep_mats=model.q_onestep_mats.numpy(),
+                q_mats=model.q_mats.numpy(),
+            )
+    return model
+
+
 # ---------------------------------------------------------------- converters
 
 
