@@ -53,6 +53,10 @@ def main():
         "--stride", type=int, default=1,
         help="D3PM sampler stride (skip-step sampling)",
     )
+    parser.add_argument(
+        "--batch-sizes", default="8",
+        help="comma-separated device batch sizes for the d3pm_batch stage",
+    )
     args = parser.parse_args()
     stages = set(args.stages.split(","))
 
@@ -106,22 +110,23 @@ def main():
         results["d3pm_stage_ms"] = dt * 1e3
 
     if "d3pm_batch" in stages:
-        # serving throughput: 8 utterances sampled concurrently per chip,
+        # serving throughput: Bb utterances sampled concurrently per chip,
         # measured pipelined (single sync — the serving execution model).
-        Bb = 8
-        bt = jnp.broadcast_to(text, (Bb, c.text_len))
-        btm = jnp.broadcast_to(tm, (Bb, c.text_len))
-        bp = jnp.broadcast_to(proms, (Bb, c.prom_len, 8))
-        bpm = jnp.broadcast_to(pm, (Bb, c.prom_len))
-        genb = jax.jit(lambda p, r: dm.generate(p, bt, btm, bp, bpm, r))
-        out = genb(d_params, rng)
-        jax.block_until_ready(out)
-        N = max(args.runs, 5)
-        t0 = time.perf_counter()
-        outs = [genb(d_params, jax.random.PRNGKey(i)) for i in range(N)]
-        jax.block_until_ready(outs)
-        dt = (time.perf_counter() - t0) / N
-        results["d3pm_batch8_tokens_per_sec"] = Bb * c.gen_len / dt
+        for Bb in [int(b) for b in args.batch_sizes.split(",")]:
+            bt = jnp.broadcast_to(text, (Bb, c.text_len))
+            btm = jnp.broadcast_to(tm, (Bb, c.text_len))
+            bp = jnp.broadcast_to(proms, (Bb, c.prom_len, 8))
+            bpm = jnp.broadcast_to(pm, (Bb, c.prom_len))
+            genb = jax.jit(lambda p, r: dm.generate(p, bt, btm, bp, bpm, r))
+            out = genb(d_params, rng)
+            jax.block_until_ready(out)
+            N = max(args.runs, 5)
+            t0 = time.perf_counter()
+            outs = [genb(d_params, jax.random.PRNGKey(i)) for i in range(N)]
+            jax.block_until_ready(outs)
+            dt = (time.perf_counter() - t0) / N
+            results[f"d3pm_batch{Bb}_tokens_per_sec"] = Bb * c.gen_len / dt
+            results[f"d3pm_batch{Bb}_ms"] = dt * 1e3
 
     if "ar" in stages:
         # ---------- AR stage (KV-cache decoder) ----------
