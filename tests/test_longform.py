@@ -1,0 +1,155 @@
+"""Long-form synthesis tests: phone segmentation, chained prompts, and the
+serving integration (auto-engagement for over-long requests).
+
+The reference hard-bounds text to 50 phones and silently truncates longer
+inputs (``ar_discrete.py:592-626``, ``__main__.py:56-61``); long-form is a
+capability the rebuild adds on top of the same fixed-bucket programs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_with_diffusion_model_tpu.export import save_bundle
+from tts_with_diffusion_model_tpu.longform import segment_phones, synthesize_long
+from tts_with_diffusion_model_tpu.models import AR, NAR
+
+V = 1024
+
+
+# ---------------------------------------------------------------- unit
+
+
+def test_segment_phones_respects_budget_and_separators():
+    phones = ["HH", "IY1", "_", "M", "EY1", "K", "_", "S", "AH1", "M", "_",
+              "N", "OY1", "Z"]
+    segs = segment_phones(phones, 6)
+    assert all(len(s) <= 6 for s in segs)
+    assert all(s[0] != "_" for s in segs)  # no leading separators
+    # nothing lost except leading separators
+    flat = [p for s in segs for p in s if p != "_"]
+    assert flat == [p for p in phones if p != "_"]
+
+
+def test_segment_phones_short_input_single_segment():
+    phones = ["M", "EY1", "K"]
+    assert segment_phones(phones, 50) == [phones]
+
+
+def test_segment_phones_hard_splits_overlong_word():
+    phones = ["A"] * 10  # one "word" longer than the budget, no separators
+    segs = segment_phones(phones, 4)
+    assert [len(s) for s in segs] == [4, 4, 2]
+
+
+def test_segment_phones_breaks_at_last_separator():
+    phones = ["A", "B", "_", "C", "D", "E", "F", "G"]
+    segs = segment_phones(phones, 5)
+    # cut at the separator (index 2), not mid-word at the budget
+    assert segs[0] == ["A", "B"]
+    assert segs[1][0] == "C"
+
+
+# ---------------------------------------------------------------- serving
+
+
+@pytest.fixture(scope="module")
+def zoo(tmp_path_factory):
+    root = tmp_path_factory.mktemp("longform_zoo")
+    rng = jax.random.PRNGKey(0)
+    phone_symmap = {p: i for i, p in enumerate(
+        ["<s>", "</s>", "_", "M", "EY1", "K", "S", "AH1", "N", "OY1", "Z",
+         "T", "EH1", "W", "AO1", "R", "P", "DH", "AH0", "HH", "IY1", "UW1",
+         "AY1", "B", "D", "G", "L", "V", "F"], 1)}
+    spkr = {"ref": 0}
+
+    t = jnp.zeros((1, 4), jnp.int32)
+    m1 = jnp.ones((1, 4))
+    pr = jnp.zeros((1, 6, 8), jnp.int32)
+    pm = jnp.ones((1, 6))
+
+    ar = AR(V, d_model=32, n_heads=4, n_layers=2, remat=False, dtype=jnp.float32)
+    ar_params = ar.init(rng, t, m1, pr, pm, jnp.zeros((1, 5), jnp.int32),
+                        jnp.ones((1, 5)))
+    save_bundle(root / "ar", ar_params,
+                {"model": "ar", "num_tokens": V, "d_model": 32, "n_heads": 4,
+                 "n_layers": 2}, phone_symmap, spkr)
+
+    nar = NAR(V, d_model=32, n_heads=4, n_layers=2, remat=False, dtype=jnp.float32)
+    nar_params = nar.init(rng, t, m1, pr, pm, jnp.zeros((1, 5, 8), jnp.int32),
+                          jnp.ones((1, 5)), jnp.zeros((1,), jnp.int32))
+    save_bundle(root / "nar", nar_params,
+                {"model": "nar", "num_tokens": V, "d_model": 32, "n_heads": 4,
+                 "n_layers": 2}, phone_symmap, spkr)
+
+    from tts_with_diffusion_model_tpu.audio.wavio import write_wav
+
+    sr = 24_000
+    tt = np.linspace(0, 0.15, int(sr * 0.15), endpoint=False)
+    write_wav(root / "ref.wav", 0.3 * np.sin(2 * np.pi * 220 * tt), sr)
+    return root
+
+
+@pytest.fixture(scope="module")
+def synth(zoo):
+    from tts_with_diffusion_model_tpu.serve import Synthesizer
+
+    return Synthesizer(
+        zoo / "ar", zoo / "nar",
+        text_len=10, prom_len=24, max_ar_steps=6, bf16=False,
+    )
+
+LONG_TEXT = "make some noise and then make even more noise for me today"
+
+
+def _count_calls(monkeypatch, synth):
+    calls = {"n": 0, "rows": []}
+    orig = synth.synthesize_codes_batch
+
+    def spy(prepared, rng):
+        calls["n"] += 1
+        calls["rows"].append(prepared[0])
+        return orig(prepared, rng)
+
+    monkeypatch.setattr(synth, "synthesize_codes_batch", spy)
+    return calls
+
+
+def test_synthesize_long_chains_segments(zoo, synth, monkeypatch):
+    calls = _count_calls(monkeypatch, synth)
+    wav, sr = synthesize_long(synth, LONG_TEXT, zoo / "ref.wav", seed=3)
+    assert sr == 24_000
+    assert wav.ndim == 1 and wav.shape[0] > 0
+    assert calls["n"] >= 2  # actually segmented
+
+
+def test_synthesize_long_continuation_prompt(zoo, synth, monkeypatch):
+    """Segment i>0 must carry the previous segment's generated codes in its
+    prompt tail (prosodic continuity)."""
+    calls = _count_calls(monkeypatch, synth)
+    cont = 8
+    synthesize_long(synth, LONG_TEXT, zoo / "ref.wav", seed=0,
+                    continuation_frames=cont)
+    assert calls["n"] >= 2
+    first, second = calls["rows"][0], calls["rows"][1]
+    ref_len = int(first["prom_mask"].sum())  # reference-only prompt rows
+    # second request's prompt = ref_base (same as first) + previous codes
+    assert int(second["prom_mask"].sum()) > ref_len
+    np.testing.assert_array_equal(
+        second["proms"][0, :ref_len], first["proms"][0, :ref_len]
+    )
+
+
+def test_synthesize_auto_engages_longform(zoo, synth, monkeypatch):
+    """Over-long requests through the normal serving entry point route into
+    long-form instead of silently truncating."""
+    calls = _count_calls(monkeypatch, synth)
+    wav, sr = synth.synthesize(LONG_TEXT, zoo / "ref.wav", seed=1)
+    assert wav.shape[0] > 0
+    assert calls["n"] >= 2
+
+
+def test_short_text_stays_on_batch_path(zoo, synth, monkeypatch):
+    calls = _count_calls(monkeypatch, synth)
+    synth.synthesize("make noise", zoo / "ref.wav", seed=1)
+    assert calls["n"] == 1

@@ -97,6 +97,12 @@ def main():
         "--fp32", action="store_true",
         help="keep fp32 weights (default: bf16 serving precision)",
     )
+    parser.add_argument(
+        "--segment-phones", type=int, default=None,
+        help="force long-form synthesis with this per-segment phone budget "
+             "(long-form engages automatically when the text exceeds a "
+             "diffusion first stage's text bucket)",
+    )
     args = parser.parse_args()
 
     from .emb import g2p, qnt
@@ -122,6 +128,34 @@ def main():
     phn_ids = phones_to_ids(phones, phone_symmap, strict=False)
     if not phn_ids:
         raise SystemExit("No phones of the input text exist in the model's symmap.")
+
+    from .models.diffusion import DiffusionModel
+
+    first_capacity = (
+        ar.config.text_len if isinstance(ar, DiffusionModel) else None
+    )
+    if args.segment_phones is not None or (
+        first_capacity is not None and len(phn_ids) > first_capacity
+    ):
+        # Long-form: chained fixed-bucket segments, one seamless decode.
+        from .audio.wavio import write_wav
+        from .longform import synthesize_long
+        from .serve import Synthesizer
+
+        synth = Synthesizer(
+            args.ar_ckpt, args.nar_ckpt,
+            max_ar_steps=args.max_ar_steps,
+            temperature=args.temperature,
+            nar_temperature=args.nar_temperature,
+            bf16=not args.fp32,
+        )
+        wav, sr = synthesize_long(
+            synth, args.text, args.reference, seed=args.seed,
+            max_segment_phones=args.segment_phones,
+        )
+        write_wav(args.out_path, wav, sr)
+        print(args.out_path, "saved.")
+        return
 
     rng = jax.random.PRNGKey(args.seed)
     rng, r1, r2 = jax.random.split(rng, 3)

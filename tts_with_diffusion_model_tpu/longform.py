@@ -1,0 +1,122 @@
+"""Long-form synthesis: chained fixed-bucket segments, one seamless decode.
+
+The reference's first stages are hard-bounded — text 50 phones, response
+448 frames (``ar_discrete.py:592-626``) — and its CLI silently truncates
+anything longer.  This module synthesizes arbitrarily long text on top of
+the same compiled fixed-bucket programs (no new device compiles):
+
+  1. the phone stream is split at word boundaries (``"_"`` — the g2p
+     convention for spaces/punctuation, ``emb/g2p.py:26-28``) into segments
+     that fit the first stage's text bucket;
+  2. each segment is synthesized with a prompt of *reference codes* (speaker
+     identity, always kept) plus the *tail of the previously generated
+     codes* (prosodic continuity — the same continuation idea as training's
+     ``p_additional_prompt`` prompt sampling, ``data.py:136-155``);
+  3. the per-segment codec codes are concatenated and decoded **once** —
+     EnCodec's decoder is convolutional over the whole code stream, so the
+     joins are seam-free (no waveform crossfading needed).
+
+Entry points: ``synthesize_long(synth, ...)`` on a warm ``serve.Synthesizer``
+(the serving path engages it automatically for over-long requests) and the
+inference CLI's ``--segment-phones`` / automatic dispatch.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+WORD_SEP = "_"
+
+
+def segment_phones(phones: list[str], max_len: int) -> list[list[str]]:
+    """Split a phone sequence into chunks of at most ``max_len``, breaking at
+    the last word separator before the limit (hard-splitting a single
+    over-long word only as a last resort).  Chunks never start with a
+    separator; separators otherwise stay in place so segment-internal timing
+    matches the short path."""
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    segments: list[list[str]] = []
+    start = 0
+    n = len(phones)
+    while start < n:
+        while start < n and phones[start] == WORD_SEP:
+            start += 1
+        if start >= n:
+            break
+        end = min(start + max_len, n)
+        if end < n:
+            cut = -1
+            for j in range(end - 1, start, -1):
+                if phones[j] == WORD_SEP:
+                    cut = j
+                    break
+            if cut > start:
+                end = cut
+        segments.append(phones[start:end])
+        start = end
+    return segments
+
+
+def synthesize_long(
+    synth,
+    text: str,
+    reference: str | Path,
+    seed: int = 0,
+    continuation_frames: int | None = None,
+    max_segment_phones: int | None = None,
+):
+    """Synthesize ``text`` of any length through a ``serve.Synthesizer``.
+
+    Returns ``(wav float32 (T,), sample_rate)`` like ``synth.synthesize``.
+
+    ``continuation_frames`` controls how many frames of the previous
+    segment's generated codes are appended to the reference prompt
+    (default: a third of the prompt bucket); ``max_segment_phones`` caps the
+    per-segment phone budget (default: the first stage's text bucket).
+    """
+    from .emb import g2p
+    from .text.symmap import phones_to_ids
+
+    max_phones = min(
+        max_segment_phones or synth.text_len, synth.text_len
+    )
+    phones = g2p.encode(text)
+    segments = segment_phones(phones, max_phones)
+    if not segments:
+        raise ValueError("no phones in input text")
+
+    seg_ids = []
+    for seg in segments:
+        ids = phones_to_ids(seg, synth.phone_symmap, strict=False)
+        if ids:
+            seg_ids.append(ids)
+    if not seg_ids:
+        raise ValueError("no usable phones in input text")
+
+    if continuation_frames is None:
+        continuation_frames = synth.prom_len // 3
+    continuation_frames = max(0, min(continuation_frames, synth.prom_len - 1))
+    ref_codes = synth.prompt_codes(reference)
+    ref_base = ref_codes[: synth.prom_len - continuation_frames]
+
+    rng = jax.random.PRNGKey(int(seed))
+    pieces: list[np.ndarray] = []
+    prev_tail: np.ndarray | None = None
+    for ids in seg_ids:
+        rng, r = jax.random.split(rng)
+        if prev_tail is None or continuation_frames == 0:
+            proms = ref_base
+        else:
+            proms = np.concatenate([ref_base, prev_tail], axis=0)
+        row = synth._prepare_ids(ids, proms)
+        codes = synth.synthesize_codes_batch([row], r)[0]
+        pieces.append(codes)
+        if continuation_frames:
+            prev_tail = codes[-continuation_frames:]
+
+    full = np.concatenate(pieces, axis=0)  # (sum_t, 8)
+    return synth.codec.decode(full.T)

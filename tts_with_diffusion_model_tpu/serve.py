@@ -107,24 +107,37 @@ class Synthesizer:
         mask[0, :n] = 1
         return out, mask
 
-    def _prepare(self, text: str, reference: str | Path) -> dict:
-        """Host-side request prep: g2p + codec-encode + bucket padding."""
-        from .emb import g2p, qnt
+    def phone_ids(self, text: str) -> list[int]:
+        from .emb import g2p
         from .text.symmap import phones_to_ids
 
         phones = g2p.encode(text)
         ids = phones_to_ids(phones, self.phone_symmap, strict=False)
         if not ids:
             raise ValueError("no usable phones in input text")
-        proms = qnt.encode_from_file(reference).T  # (t, 8)
+        return ids
+
+    def prompt_codes(self, reference: str | Path) -> np.ndarray:
+        """Reference wav → (t, 8) codec prompt codes."""
+        from .emb import qnt
+
+        return qnt.encode_from_file(reference).T.astype(np.int32)
+
+    def _prepare_ids(self, ids: list[int], proms: np.ndarray) -> dict:
+        """Bucket-pad phone ids + (t, 8) prompt codes into one request row."""
         text_a, text_m = self._pad(np.asarray(ids, np.int32), self.text_len)
-        prom_a, prom_m = self._pad(proms.astype(np.int32), self.prom_len, (8,))
+        prom_a, prom_m = self._pad(proms, self.prom_len, (8,))
         return dict(text=text_a, text_mask=text_m, proms=prom_a, prom_mask=prom_m)
 
-    def synthesize_batch(
-        self, requests: list[tuple[str, str | Path, int]]
-    ) -> list[tuple[np.ndarray, int]]:
-        """Synthesize up to ``max_batch`` requests in one device batch.
+    def _prepare(self, text: str, reference: str | Path) -> dict:
+        """Host-side request prep: g2p + codec-encode + bucket padding."""
+        return self._prepare_ids(self.phone_ids(text), self.prompt_codes(reference))
+
+    def synthesize_codes_batch(
+        self, prepared: list[dict], rng: jax.Array
+    ) -> list[np.ndarray]:
+        """Run the device stages on up to ``max_batch`` prepared rows →
+        per-request (t, 8) codec codes (no waveform decode).
 
         The batch is always padded to ``max_batch`` with copies of row 0
         (discarded), so exactly one program per stage is ever compiled.
@@ -132,9 +145,8 @@ class Synthesizer:
         from .models.ar import ar_generate
         from .models.nar import nar_generate
 
-        if not 1 <= len(requests) <= self.max_batch:
+        if not 1 <= len(prepared) <= self.max_batch:
             raise ValueError(f"need 1..{self.max_batch} requests")
-        prepared = [self._prepare(t, ref) for t, ref, _ in requests]
         n_req = len(prepared)
         rows = prepared + [prepared[0]] * (self.max_batch - n_req)
 
@@ -143,10 +155,6 @@ class Synthesizer:
 
         text_a, text_m = stack("text"), stack("text_mask")
         prom_a, prom_m = stack("proms"), stack("prom_mask")
-
-        rng = jax.random.PRNGKey(int(requests[0][2]))
-        for _, _, seed in requests[1:]:
-            rng = jax.random.fold_in(rng, int(seed))
         r1, r2 = jax.random.split(rng)
 
         with self._lock:
@@ -179,14 +187,30 @@ class Synthesizer:
                 sampling_temperature=self.nar_temperature,
             )
             codes = np.asarray(codes)
-            out = []
-            for i in range(n_req):
-                wav, sr = self.codec.decode(codes[i, : lens[i]].T)
-                out.append((wav, sr))
-        return out
+        return [codes[i, : lens[i]] for i in range(n_req)]
+
+    def synthesize_batch(
+        self, requests: list[tuple[str, str | Path, int]]
+    ) -> list[tuple[np.ndarray, int]]:
+        """Synthesize up to ``max_batch`` requests in one device batch."""
+        prepared = [self._prepare(t, ref) for t, ref, _ in requests]
+        rng = jax.random.PRNGKey(int(requests[0][2]))
+        for _, _, seed in requests[1:]:
+            rng = jax.random.fold_in(rng, int(seed))
+        codes = self.synthesize_codes_batch(prepared, rng)
+        return [self.codec.decode(c.T) for c in codes]
 
     def synthesize(self, text: str, reference: str | Path, seed: int = 0):
-        """Returns (wav float32 (T,), sample_rate)."""
+        """Returns (wav float32 (T,), sample_rate).
+
+        Texts whose phone sequences exceed the first stage's text bucket are
+        synthesized in chained segments (``longform.synthesize_long``) rather
+        than silently truncated.
+        """
+        if len(self.phone_ids(text)) > self.text_len:
+            from .longform import synthesize_long
+
+            return synthesize_long(self, text, reference, seed=seed)
         return self.synthesize_batch([(text, reference, seed)])[0]
 
     def warmup(self, reference: str | Path):
@@ -211,6 +235,13 @@ class Batcher:
         self._thread.start()
 
     def submit(self, text: str, reference: str | Path, seed: int = 0):
+        if len(self.synth.phone_ids(text)) > self.synth.text_len:
+            # Long-form requests are chained segments with a sequential
+            # dependency — they cannot ride one device batch; run them
+            # directly (each segment still serializes on the synth lock).
+            from .longform import synthesize_long
+
+            return synthesize_long(self.synth, text, reference, seed=seed)
         item = {
             "req": (text, reference, seed),
             "event": threading.Event(),
