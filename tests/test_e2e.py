@@ -114,6 +114,30 @@ def test_cli_diffusion_pipeline(zoo, monkeypatch, tmp_path):
     assert wav.shape[1] > 0
 
 
+def test_cli_longform_auto_engages(zoo, monkeypatch, tmp_path):
+    """Text over the diffusion first stage's 24-phone bucket routes through
+    long-form: ≥2 chained 40-frame segments in one seam-free decode
+    (the reference CLI would truncate, ``ar_discrete.py:592-626``)."""
+    from tts_with_diffusion_model_tpu.__main__ import main
+
+    out = tmp_path / "out_long.wav"
+    argv = [
+        "prog",
+        "I am here to make some noise and then make even more noise today",
+        str(zoo / "ref.wav"), str(out),
+        "--ar-ckpt", str(zoo / "diffusion"),
+        "--nar-ckpt", str(zoo / "nar"),
+        "--fp32",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    main()
+    from tts_with_diffusion_model_tpu.audio.wavio import read_wav
+
+    wav, sr = read_wav(out)
+    frames = wav.shape[1] // 320  # codec hop
+    assert frames >= 2 * 40 and frames % 40 == 0
+
+
 def test_bundle_roundtrip(zoo):
     params, meta, phone_symmap, spkr_symmap = load_bundle(zoo / "ar")
     assert meta["model"] == "ar"
