@@ -164,6 +164,47 @@ def test_batcher_coalesces_concurrent_requests(zoo):
         assert sr == 24_000 and wav.shape[0] > 0
 
 
+def test_synthesize_batch_empty_raises(synth):
+    with pytest.raises(ValueError, match="need 1"):
+        synth.synthesize_batch([])
+
+
+def test_decode_codes_bucketed_exact(synth):
+    """decode_codes pads codes to the 448-frame decode bucket and trims —
+    the causal decoder makes the trimmed prefix equal the direct decode."""
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 1024, (37, 8)).astype(np.int32)
+    wav, sr = synth.decode_codes(codes)
+    ref, _ = synth.codec.decode(codes.T)
+    assert wav.shape == ref.shape
+    np.testing.assert_allclose(wav, ref, atol=1e-5)
+
+
+def test_batcher_long_request_rides_queue(zoo):
+    """A long-form request submitted through the Batcher routes each chained
+    segment through the shared queue (submit_row), not a private batch."""
+    from tts_with_diffusion_model_tpu.serve import Batcher, Synthesizer
+
+    synth = Synthesizer(
+        zoo / "ar", zoo / "nar",
+        text_len=8, prom_len=24, max_ar_steps=6, bf16=False, max_batch=2,
+    )
+    batcher = Batcher(synth, window_ms=1.0)
+    calls = {"n": 0}
+    orig = batcher.submit_row
+
+    def spy(row, seed=0):
+        calls["n"] += 1
+        return orig(row, seed)
+
+    batcher.submit_row = spy
+    wav, sr = batcher.submit(
+        "make some noise and then make even more noise", zoo / "ref.wav", 1
+    )
+    assert wav.shape[0] > 0
+    assert calls["n"] >= 2
+
+
 def test_batcher_propagates_errors(zoo):
     from tts_with_diffusion_model_tpu.serve import Batcher, Synthesizer
 

@@ -115,15 +115,6 @@ def main():
     ar = build_model(ar_meta)
     nar = build_model(nar_meta)
 
-    if not args.fp32:
-        from .utils.precision import cast_params_bf16
-
-        ar_params = cast_params_bf16(ar_params)
-        nar_params = cast_params_bf16(nar_params)
-
-    proms = qnt.encode_from_file(args.reference)  # (8, t)
-    proms = proms.T  # (t, 8)
-
     phones = g2p.encode(args.text)
     phn_ids = phones_to_ids(phones, phone_symmap, strict=False)
     if not phn_ids:
@@ -138,6 +129,8 @@ def main():
         first_capacity is not None and len(phn_ids) > first_capacity
     ):
         # Long-form: chained fixed-bucket segments, one seamless decode.
+        # (Branches before the bf16 cast / prompt encode; the Synthesizer
+        # re-reads the bundles from disk — acceptable for a one-shot CLI.)
         from .audio.wavio import write_wav
         from .longform import synthesize_long
         from .serve import Synthesizer
@@ -151,11 +144,20 @@ def main():
         )
         wav, sr = synthesize_long(
             synth, args.text, args.reference, seed=args.seed,
-            max_segment_phones=args.segment_phones,
+            max_segment_phones=args.segment_phones, phones=phones,
         )
         write_wav(args.out_path, wav, sr)
         print(args.out_path, "saved.")
         return
+
+    if not args.fp32:
+        from .utils.precision import cast_params_bf16
+
+        ar_params = cast_params_bf16(ar_params)
+        nar_params = cast_params_bf16(nar_params)
+
+    proms = qnt.encode_from_file(args.reference)  # (8, t)
+    proms = proms.T  # (t, 8)
 
     rng = jax.random.PRNGKey(args.seed)
     rng, r1, r2 = jax.random.split(rng, 3)

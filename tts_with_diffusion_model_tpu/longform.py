@@ -68,6 +68,8 @@ def synthesize_long(
     seed: int = 0,
     continuation_frames: int | None = None,
     max_segment_phones: int | None = None,
+    phones: list[str] | None = None,
+    submit_row=None,
 ):
     """Synthesize ``text`` of any length through a ``serve.Synthesizer``.
 
@@ -76,7 +78,12 @@ def synthesize_long(
     ``continuation_frames`` controls how many frames of the previous
     segment's generated codes are appended to the reference prompt
     (default: a third of the prompt bucket); ``max_segment_phones`` caps the
-    per-segment phone budget (default: the first stage's text bucket).
+    per-segment phone budget (default: the first stage's text bucket);
+    ``phones`` skips re-running g2p when the caller already has the phone
+    list; ``submit_row`` (a ``(row, seed) -> codes`` callable, e.g.
+    ``serve.Batcher.submit_row``) routes each segment through a shared
+    batching queue so segments coalesce with concurrent traffic — default
+    is a direct single-row device batch.
     """
     from .emb import g2p
     from .text.symmap import phones_to_ids
@@ -84,7 +91,8 @@ def synthesize_long(
     max_phones = min(
         max_segment_phones or synth.text_len, synth.text_len
     )
-    phones = g2p.encode(text)
+    if phones is None:
+        phones = g2p.encode(text)
     segments = segment_phones(phones, max_phones)
     if not segments:
         raise ValueError("no phones in input text")
@@ -103,20 +111,22 @@ def synthesize_long(
     ref_codes = synth.prompt_codes(reference)
     ref_base = ref_codes[: synth.prom_len - continuation_frames]
 
-    rng = jax.random.PRNGKey(int(seed))
     pieces: list[np.ndarray] = []
     prev_tail: np.ndarray | None = None
-    for ids in seg_ids:
-        rng, r = jax.random.split(rng)
+    for i, ids in enumerate(seg_ids):
         if prev_tail is None or continuation_frames == 0:
             proms = ref_base
         else:
             proms = np.concatenate([ref_base, prev_tail], axis=0)
         row = synth._prepare_ids(ids, proms)
-        codes = synth.synthesize_codes_batch([row], r)[0]
+        if submit_row is not None:
+            codes = submit_row(row, int(seed) + i)
+        else:
+            r = jax.random.fold_in(jax.random.PRNGKey(int(seed)), i)
+            codes = synth.synthesize_codes_batch([row], r)[0]
         pieces.append(codes)
         if continuation_frames:
             prev_tail = codes[-continuation_frames:]
 
     full = np.concatenate(pieces, axis=0)  # (sum_t, 8)
-    return synth.codec.decode(full.T)
+    return synth.decode_codes(full)

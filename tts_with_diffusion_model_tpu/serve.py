@@ -107,7 +107,9 @@ class Synthesizer:
         mask[0, :n] = 1
         return out, mask
 
-    def phone_ids(self, text: str) -> list[int]:
+    def phones_and_ids(self, text: str) -> tuple[list[str], list[int]]:
+        """g2p + symmap mapping, computed once per request (the phone list
+        feeds long-form segmentation; the ids feed the text bucket)."""
         from .emb import g2p
         from .text.symmap import phones_to_ids
 
@@ -115,7 +117,10 @@ class Synthesizer:
         ids = phones_to_ids(phones, self.phone_symmap, strict=False)
         if not ids:
             raise ValueError("no usable phones in input text")
-        return ids
+        return phones, ids
+
+    def phone_ids(self, text: str) -> list[int]:
+        return self.phones_and_ids(text)[1]
 
     def prompt_codes(self, reference: str | Path) -> np.ndarray:
         """Reference wav → (t, 8) codec prompt codes."""
@@ -189,16 +194,35 @@ class Synthesizer:
             codes = np.asarray(codes)
         return [codes[i, : lens[i]] for i in range(n_req)]
 
+    #: codec-decode lengths pad up to multiples of this many frames, so the
+    #: jit'd decoder compiles one program per *bucket*, not per length (the
+    #: decoder is causal end-to-end, so trimming the padded tail is exact).
+    DECODE_BUCKET = 448
+
+    def decode_codes(self, codes: np.ndarray) -> tuple[np.ndarray, int]:
+        """(t, 8) codes → (wav float32 (T,), sample_rate), bucket-padded."""
+        from .codec.encodec import HOP
+
+        t = len(codes)
+        bucket = max(1, -(-t // self.DECODE_BUCKET)) * self.DECODE_BUCKET
+        padded = np.zeros((bucket, 8), np.int32)
+        padded[:t] = codes
+        with self._lock:
+            wav, sr = self.codec.decode(padded.T)
+        return wav[..., : t * HOP], sr
+
     def synthesize_batch(
         self, requests: list[tuple[str, str | Path, int]]
     ) -> list[tuple[np.ndarray, int]]:
         """Synthesize up to ``max_batch`` requests in one device batch."""
+        if not 1 <= len(requests) <= self.max_batch:
+            raise ValueError(f"need 1..{self.max_batch} requests")
         prepared = [self._prepare(t, ref) for t, ref, _ in requests]
         rng = jax.random.PRNGKey(int(requests[0][2]))
         for _, _, seed in requests[1:]:
             rng = jax.random.fold_in(rng, int(seed))
         codes = self.synthesize_codes_batch(prepared, rng)
-        return [self.codec.decode(c.T) for c in codes]
+        return [self.decode_codes(c) for c in codes]
 
     def synthesize(self, text: str, reference: str | Path, seed: int = 0):
         """Returns (wav float32 (T,), sample_rate).
@@ -207,11 +231,15 @@ class Synthesizer:
         synthesized in chained segments (``longform.synthesize_long``) rather
         than silently truncated.
         """
-        if len(self.phone_ids(text)) > self.text_len:
+        phones, ids = self.phones_and_ids(text)
+        if len(ids) > self.text_len:
             from .longform import synthesize_long
 
-            return synthesize_long(self, text, reference, seed=seed)
-        return self.synthesize_batch([(text, reference, seed)])[0]
+            return synthesize_long(self, text, reference, seed=seed,
+                                   phones=phones)
+        row = self._prepare_ids(ids, self.prompt_codes(reference))
+        codes = self.synthesize_codes_batch([row], jax.random.PRNGKey(int(seed)))
+        return self.decode_codes(codes[0])
 
     def warmup(self, reference: str | Path):
         """Compile every device program once with bucket shapes."""
@@ -234,25 +262,37 @@ class Batcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, text: str, reference: str | Path, seed: int = 0):
-        if len(self.synth.phone_ids(text)) > self.synth.text_len:
-            # Long-form requests are chained segments with a sequential
-            # dependency — they cannot ride one device batch; run them
-            # directly (each segment still serializes on the synth lock).
-            from .longform import synthesize_long
-
-            return synthesize_long(self.synth, text, reference, seed=seed)
+    def submit_row(self, row: dict, seed: int = 0) -> np.ndarray:
+        """Queue one prepared request row; blocks until the device batch
+        carrying it completes and returns the row's (t, 8) codec codes."""
         item = {
-            "req": (text, reference, seed),
+            "row": row,
+            "seed": int(seed),
             "event": threading.Event(),
-            "result": None,
+            "codes": None,
             "error": None,
         }
         self.q.put(item)
         item["event"].wait()
         if item["error"] is not None:
             raise item["error"]
-        return item["result"]
+        return item["codes"]
+
+    def submit(self, text: str, reference: str | Path, seed: int = 0):
+        synth = self.synth
+        phones, ids = synth.phones_and_ids(text)
+        if len(ids) > synth.text_len:
+            # Long-form: a request's own segments are sequentially dependent
+            # (continuation prompts), but each segment rides the shared
+            # queue, coalescing with concurrent traffic at segment
+            # granularity.
+            from .longform import synthesize_long
+
+            return synthesize_long(synth, text, reference, seed=seed,
+                                   phones=phones, submit_row=self.submit_row)
+        row = synth._prepare_ids(ids, synth.prompt_codes(reference))
+        codes = self.submit_row(row, seed)
+        return synth.decode_codes(codes)
 
     def _loop(self):
         while True:
@@ -267,9 +307,14 @@ class Batcher:
                 except queue.Empty:
                     break
             try:
-                outs = self.synth.synthesize_batch([b["req"] for b in batch])
-                for b, out in zip(batch, outs):
-                    b["result"] = out
+                rng = jax.random.PRNGKey(batch[0]["seed"])
+                for b in batch[1:]:
+                    rng = jax.random.fold_in(rng, b["seed"])
+                codes = self.synth.synthesize_codes_batch(
+                    [b["row"] for b in batch], rng
+                )
+                for b, c in zip(batch, codes):
+                    b["codes"] = c
             except Exception as e:  # noqa: BLE001 — delivered to the caller
                 for b in batch:
                     b["error"] = e
@@ -348,10 +393,18 @@ def main():
     parser.add_argument("--warmup-reference", type=Path, default=None)
     parser.add_argument("--max-batch", type=int, default=1)
     parser.add_argument("--batch-window-ms", type=float, default=10.0)
+    parser.add_argument("--max-ar-steps", type=int, default=448,
+                        help="AR response bucket (AR first stages only)")
+    parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--nar-temperature", type=float, default=0.2)
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
-    synth = Synthesizer(args.ar_ckpt, args.nar_ckpt, max_batch=args.max_batch)
+    synth = Synthesizer(
+        args.ar_ckpt, args.nar_ckpt, max_batch=args.max_batch,
+        max_ar_steps=args.max_ar_steps, temperature=args.temperature,
+        nar_temperature=args.nar_temperature,
+    )
     if args.warmup_reference:
         synth.warmup(args.warmup_reference)
     batcher = (
