@@ -114,6 +114,18 @@ def test_cli_diffusion_pipeline(zoo, monkeypatch, tmp_path):
     assert wav.shape[1] > 0
 
 
+def test_cli_diffusion_stride_sampling(zoo, monkeypatch, tmp_path):
+    """--stride 3 runs the skip-step sampler (closed-form interval
+    posterior) through the real CLI; output shape matches the full
+    sampler's."""
+    out = _run_cli(zoo, monkeypatch, tmp_path, "diffusion",
+                   extra=("--stride", "3"))
+    from tts_with_diffusion_model_tpu.audio.wavio import read_wav
+
+    wav, sr = read_wav(out)
+    assert sr == 24_000 and wav.shape[1] == 40 * 320  # gen_len frames
+
+
 def test_cli_longform_auto_engages(zoo, monkeypatch, tmp_path):
     """Text over the diffusion first stage's 24-phone bucket routes through
     long-form: ≥2 chained 40-frame segments in one seam-free decode

@@ -39,7 +39,7 @@ def first_stage_generate(meta, model, params, phn_ids, proms, rng, args):
         pm[0, :np_] = 1
         out = model.generate(
             params, jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
-            jnp.asarray(pm), rng,
+            jnp.asarray(pm), rng, stride=max(1, args.stride),
         )
         # first gen_len positions are the generated utterance; the rest are
         # padding (0 is a *valid* codec token, so slice — don't filter).
@@ -98,6 +98,11 @@ def main():
         help="keep fp32 weights (default: bf16 serving precision)",
     )
     parser.add_argument(
+        "--stride", type=int, default=1,
+        help="diffusion skip-step sampling stride (3 ≈ 3× faster first "
+             "stage with a slight quality trade; diffusion bundles only)",
+    )
+    parser.add_argument(
         "--segment-phones", type=int, default=None,
         help="force long-form synthesis with this per-segment phone budget "
              "(long-form engages automatically when the text exceeds a "
@@ -141,6 +146,7 @@ def main():
             temperature=args.temperature,
             nar_temperature=args.nar_temperature,
             bf16=not args.fp32,
+            stride=args.stride,
         )
         wav, sr = synthesize_long(
             synth, args.text, args.reference, seed=args.seed,

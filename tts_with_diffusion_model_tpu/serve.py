@@ -61,6 +61,7 @@ class Synthesizer:
         nar_temperature: float = 0.2,
         bf16: bool = True,
         max_batch: int = 1,
+        stride: int = 1,
     ):
         from .__main__ import build_model
         from .codec.encodec import load_codec
@@ -93,8 +94,14 @@ class Synthesizer:
             self.text_len, self.prom_len, self.gen_len = (
                 c.text_len, c.prom_len, c.gen_len,
             )
+            # stride > 1 = skip-step sampling (closed-form interval
+            # posterior): ~stride× fewer denoiser steps per utterance, a
+            # measured ~3× latency cut at stride=3 (PARITY.md) for a
+            # quality trade the operator opts into.
             self._first_gen = jax.jit(
-                lambda p, t, tm, pr, pm, r: self.first.generate(p, t, tm, pr, pm, r)
+                lambda p, t, tm, pr, pm, r: self.first.generate(
+                    p, t, tm, pr, pm, r, stride=max(1, int(stride))
+                )
             )
 
     # ---------------- request path ----------------
@@ -397,13 +404,16 @@ def main():
                         help="AR response bucket (AR first stages only)")
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--nar-temperature", type=float, default=0.2)
+    parser.add_argument("--stride", type=int, default=1,
+                        help="diffusion skip-step stride (3 ≈ 3× faster, "
+                             "slight quality trade; diffusion bundles only)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
     synth = Synthesizer(
         args.ar_ckpt, args.nar_ckpt, max_batch=args.max_batch,
         max_ar_steps=args.max_ar_steps, temperature=args.temperature,
-        nar_temperature=args.nar_temperature,
+        nar_temperature=args.nar_temperature, stride=args.stride,
     )
     if args.warmup_reference:
         synth.warmup(args.warmup_reference)
