@@ -153,3 +153,34 @@ def test_short_text_stays_on_batch_path(zoo, synth, monkeypatch):
     calls = _count_calls(monkeypatch, synth)
     synth.synthesize("make noise", zoo / "ref.wav", seed=1)
     assert calls["n"] == 1
+
+
+def test_synthesize_stream_matches_oneshot(zoo):
+    """With a context window covering the full history, streamed chunks
+    concatenate to exactly the one-shot long-form waveform (causal codec:
+    decoding a suffix given its full prefix reproduces the one-shot
+    samples).
+
+    Segments must be ≥ 8 codec frames: the decoder right-pads shorter
+    inputs up to its first kernel (EnCodec minimum-length padding), which
+    is the one non-causal edge case — production segments are hundreds of
+    frames."""
+    from tts_with_diffusion_model_tpu.serve import Synthesizer
+
+    synth = Synthesizer(
+        zoo / "ar", zoo / "nar",
+        text_len=10, prom_len=24, max_ar_steps=16, bf16=False,
+    )
+    wav_full, sr = synthesize_long(synth, LONG_TEXT, zoo / "ref.wav", seed=7)
+    chunks = list(synth.synthesize_stream(
+        LONG_TEXT, zoo / "ref.wav", seed=7, context_frames=10_000
+    ))
+    assert len(chunks) >= 2
+    streamed = np.concatenate(chunks, axis=-1)
+    assert streamed.shape == wav_full.shape
+    np.testing.assert_allclose(streamed, wav_full, atol=1e-4)
+
+
+def test_synthesize_stream_short_text_single_chunk(zoo, synth):
+    chunks = list(synth.synthesize_stream("make noise", zoo / "ref.wav"))
+    assert len(chunks) == 1 and chunks[0].shape[-1] > 0

@@ -164,6 +164,42 @@ def test_batcher_coalesces_concurrent_requests(zoo):
         assert sr == 24_000 and wav.shape[0] > 0
 
 
+def test_http_stream_endpoint(zoo):
+    """POST /tts_stream returns chunked audio/L16 PCM; a long text streams
+    multiple segment chunks that total a plausible sample count."""
+    from tts_with_diffusion_model_tpu.serve import Synthesizer, make_server
+
+    s = Synthesizer(
+        zoo / "ar", zoo / "nar",
+        text_len=8, prom_len=24, max_ar_steps=6, bf16=False,
+    )
+    server = make_server(s, "127.0.0.1", 0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        body = json.dumps({
+            "text": "make some noise and then make even more noise",
+            "reference": str(zoo / "ref.wav"),
+        })
+        conn.request("POST", "/tts_stream", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("audio/L16")
+        data = r.read()  # http.client reassembles the chunked stream
+        assert len(data) > 0 and len(data) % 2 == 0  # 16-bit samples
+
+        # error path still returns clean JSON 500 (before headers)
+        conn.request("POST", "/tts_stream", body=json.dumps(
+            {"text": "x", "reference": "/nonexistent.wav"}))
+        r = conn.getresponse()
+        assert r.status == 500
+        assert "error" in json.loads(r.read())
+    finally:
+        server.shutdown()
+
+
 def test_synthesize_batch_empty_raises(synth):
     with pytest.raises(ValueError, match="need 1"):
         synth.synthesize_batch([])

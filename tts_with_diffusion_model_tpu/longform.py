@@ -61,7 +61,7 @@ def segment_phones(phones: list[str], max_len: int) -> list[list[str]]:
     return segments
 
 
-def synthesize_long(
+def iter_segment_codes(
     synth,
     text: str,
     reference: str | Path,
@@ -71,9 +71,7 @@ def synthesize_long(
     phones: list[str] | None = None,
     submit_row=None,
 ):
-    """Synthesize ``text`` of any length through a ``serve.Synthesizer``.
-
-    Returns ``(wav float32 (T,), sample_rate)`` like ``synth.synthesize``.
+    """Yield (t, 8) codec codes per chained segment of ``text``.
 
     ``continuation_frames`` controls how many frames of the previous
     segment's generated codes are appended to the reference prompt
@@ -111,7 +109,6 @@ def synthesize_long(
     ref_codes = synth.prompt_codes(reference)
     ref_base = ref_codes[: synth.prom_len - continuation_frames]
 
-    pieces: list[np.ndarray] = []
     prev_tail: np.ndarray | None = None
     for i, ids in enumerate(seg_ids):
         if prev_tail is None or continuation_frames == 0:
@@ -124,9 +121,32 @@ def synthesize_long(
         else:
             r = jax.random.fold_in(jax.random.PRNGKey(int(seed)), i)
             codes = synth.synthesize_codes_batch([row], r)[0]
-        pieces.append(codes)
+        yield codes
         if continuation_frames:
             prev_tail = codes[-continuation_frames:]
 
+
+def synthesize_long(
+    synth,
+    text: str,
+    reference: str | Path,
+    seed: int = 0,
+    continuation_frames: int | None = None,
+    max_segment_phones: int | None = None,
+    phones: list[str] | None = None,
+    submit_row=None,
+):
+    """Synthesize ``text`` of any length through a ``serve.Synthesizer``.
+
+    Returns ``(wav float32 (T,), sample_rate)`` like ``synth.synthesize``.
+    See ``iter_segment_codes`` for the parameters; the concatenated code
+    stream is decoded in one convolutional pass (seam-free joins).
+    """
+    pieces = list(iter_segment_codes(
+        synth, text, reference, seed=seed,
+        continuation_frames=continuation_frames,
+        max_segment_phones=max_segment_phones, phones=phones,
+        submit_row=submit_row,
+    ))
     full = np.concatenate(pieces, axis=0)  # (sum_t, 8)
     return synth.decode_codes(full)

@@ -16,6 +16,9 @@ provides:
         GET  /healthz                         → {"status": "ok"}
         POST /tts  {"text": ..., "reference": <wav path>, "seed": 0}
                                                → audio/wav bytes
+        POST /tts_stream  (same body)          → chunked audio/L16 PCM,
+             one chunk per long-form segment (first audio after one
+             segment's latency instead of the whole request's)
     ``python -m tts_with_diffusion_model_tpu.serve --ar-ckpt zoo/ar
     --nar-ckpt zoo/nar --port 8400 [--max-batch 8 --batch-window-ms 10]``
 
@@ -248,6 +251,60 @@ class Synthesizer:
         codes = self.synthesize_codes_batch([row], jax.random.PRNGKey(int(seed)))
         return self.decode_codes(codes[0])
 
+    def synthesize_stream(
+        self,
+        text: str,
+        reference: str | Path,
+        seed: int = 0,
+        context_frames: int = 112,
+        submit_row=None,
+    ):
+        """Generator yielding wav float32 chunks as segments complete.
+
+        Time-to-first-audio for an N-segment long-form request drops from
+        N× to 1× the single-utterance latency.  Each chunk is decoded with
+        the previous ``context_frames`` codec frames as context and the
+        contexted samples dropped — the causal decoder makes the chunk
+        samples match the one-shot decode up to the (LSTM) state beyond the
+        context window; ``context_frames >= total previous frames`` makes
+        streaming bit-identical to ``synthesize`` (used by the tests).
+        One caveat: the decoder right-pads inputs shorter than its first
+        kernel (EnCodec minimum-length padding), so chunks under ~8 codec
+        frames (~0.1 s) are not prefix-exact — production segments are
+        hundreds of frames.  The final sample rate is ``self.sample_rate``.
+        """
+        from .codec.encodec import HOP
+
+        phones, ids = self.phones_and_ids(text)
+        if len(ids) <= self.text_len:
+            wav, _ = self.synthesize(text, reference, seed)
+            yield wav
+            return
+
+        from .longform import iter_segment_codes
+
+        context: np.ndarray | None = None
+        for codes in iter_segment_codes(
+            self, text, reference, seed=seed, phones=phones,
+            submit_row=submit_row,
+        ):
+            if context is None or not context_frames:
+                wav, _ = self.decode_codes(codes)
+            else:
+                full, _ = self.decode_codes(np.concatenate([context, codes]))
+                wav = full[..., len(context) * HOP:]
+            merged = codes if context is None else np.concatenate(
+                [context, codes], axis=0
+            )
+            context = merged[-context_frames:] if context_frames else None
+            yield wav
+
+    @property
+    def sample_rate(self) -> int:
+        from .codec.encodec import SAMPLE_RATE
+
+        return SAMPLE_RATE
+
     def warmup(self, reference: str | Path):
         """Compile every device program once with bucket shapes."""
         self.synthesize("warm up the compiler", reference)
@@ -347,6 +404,7 @@ def make_server(
     batcher: Batcher | None = None,
 ):
     submit = batcher.submit if batcher is not None else synth.synthesize
+    submit_row = batcher.submit_row if batcher is not None else None
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -364,6 +422,9 @@ def make_server(
                 self.send_error(404)
 
         def do_POST(self):
+            if self.path == "/tts_stream":
+                self._tts_stream()
+                return
             if self.path != "/tts":
                 self.send_error(404)
                 return
@@ -387,6 +448,49 @@ def make_server(
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+        def _tts_stream(self):
+            """Chunked raw-PCM streaming: audio arrives per long-form
+            segment, cutting time-to-first-audio for an N-segment request
+            from N× to 1× the single-utterance latency."""
+            import itertools
+
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                gen = synth.synthesize_stream(
+                    req["text"], req["reference"], int(req.get("seed", 0)),
+                    submit_row=submit_row,
+                )
+                first = next(gen)  # synthesize before headers → errors → 500
+            except Exception as e:  # noqa: BLE001
+                _logger.exception("tts_stream request failed")
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(500)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            self.send_response(200)
+            self.send_header(
+                "Content-Type",
+                f"audio/L16; rate={synth.sample_rate}; channels=1",
+            )
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            try:
+                for wav in itertools.chain([first], gen):
+                    # RFC 2586: L16 is big-endian PCM
+                    pcm = (np.clip(wav, -1.0, 1.0) * 32767.0).astype(">i2")
+                    data = pcm.tobytes()
+                    self.wfile.write(f"{len(data):X}\r\n".encode())
+                    self.wfile.write(data)
+                    self.wfile.write(b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception:  # noqa: BLE001 — headers sent; can only drop
+                _logger.exception("tts_stream aborted mid-stream")
+                self.close_connection = True
 
     return ThreadingHTTPServer((host, port), Handler)
 
