@@ -116,11 +116,15 @@ def iter_segment_codes(
         else:
             proms = np.concatenate([ref_base, prev_tail], axis=0)
         row = synth._prepare_ids(ids, proms)
+        # One derived seed per (request seed, segment), identical in both
+        # paths — seed+i would collide across adjacent request seeds.
+        derived = (int(seed) * 1_000_003 + i) & 0x7FFFFFFF
         if submit_row is not None:
-            codes = submit_row(row, int(seed) + i)
+            codes = submit_row(row, derived)
         else:
-            r = jax.random.fold_in(jax.random.PRNGKey(int(seed)), i)
-            codes = synth.synthesize_codes_batch([row], r)[0]
+            codes = synth.synthesize_codes_batch(
+                [row], jax.random.PRNGKey(derived)
+            )[0]
         yield codes
         if continuation_frames:
             prev_tail = codes[-continuation_frames:]

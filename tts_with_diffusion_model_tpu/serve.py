@@ -277,7 +277,14 @@ class Synthesizer:
 
         phones, ids = self.phones_and_ids(text)
         if len(ids) <= self.text_len:
-            wav, _ = self.synthesize(text, reference, seed)
+            row = self._prepare_ids(ids, self.prompt_codes(reference))
+            if submit_row is not None:  # coalesce with batched traffic
+                codes = submit_row(row, int(seed))
+            else:
+                codes = self.synthesize_codes_batch(
+                    [row], jax.random.PRNGKey(int(seed))
+                )[0]
+            wav, _ = self.decode_codes(codes)
             yield wav
             return
 
@@ -407,6 +414,12 @@ def make_server(
     submit_row = batcher.submit_row if batcher is not None else None
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 is required for Transfer-Encoding: chunked on
+        # /tts_stream (clients ignore chunked framing on a 1.0 response);
+        # every non-streaming response sends Content-Length, as keep-alive
+        # requires.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):
             _logger.info("%s - %s", self.address_string(), fmt % args)
 
