@@ -166,6 +166,7 @@ def test_rvq_decode_encode_consistency():
     np.testing.assert_array_equal(np.asarray(codes2), np.asarray(codes))
 
 
+@pytest.mark.slow
 def test_full_codec_shapes_and_determinism():
     codec = Codec()
     T = HOP * 6 + 37  # non-multiple of hop
@@ -179,6 +180,7 @@ def test_full_codec_shapes_and_determinism():
     assert out.shape[0] == codes.shape[1] * HOP
 
 
+@pytest.mark.slow
 def test_converter_structural_roundtrip(tmp_path):
     """A synthetic full encodec state_dict converts into exactly the param
     tree EncodecModel.init produces (names + shapes)."""

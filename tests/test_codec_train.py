@@ -46,6 +46,7 @@ def test_vq_losses_and_straight_through_grad():
     np.testing.assert_allclose(np.asarray(g), 1.0)
 
 
+@pytest.mark.slow
 def test_codec_reconstruction_overfit_tone():
     """A few hundred steps on one tone segment must substantially reduce the
     reconstruction loss (codec trainability check)."""

@@ -3,6 +3,7 @@ products, t=0 degeneracy of the posterior, forward-corruption behavior of the
 absorbing chain, and sampler determinism under injected noise."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -126,6 +127,7 @@ def test_p_sample_t0_is_argmax_of_model_logits():
     )
 
 
+@pytest.mark.slow
 def test_diffusion_model_loss_and_generate():
     from tts_with_diffusion_model_tpu.models.diffusion import (
         DiffusionConfig,
@@ -225,6 +227,7 @@ def test_full_size_create_is_fast():
     assert abs(s - 1.0) < 1e-5
 
 
+@pytest.mark.slow
 def test_diffusion_overfit_and_recover():
     """Overfit a tiny D3PM on one sequence, then the reverse sampler must
     reconstruct it from the all-absorbing start — the diffusion analogue of
@@ -295,6 +298,7 @@ def test_interval_diag_is_product_of_onesteps():
     np.testing.assert_allclose(a, expect, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_strided_generation_recovers_overfit_sequence():
     """After overfitting, stride-2 sampling (half the steps) still recovers
     most of the target sequence."""

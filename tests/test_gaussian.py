@@ -3,6 +3,7 @@ closed-form term identities, q_sample/p_sample behavior, domain codecs, and
 the end-to-end loss/generate of both domains."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -131,6 +132,7 @@ def test_registry_dispatch():
     assert m.config.domain == "value"
 
 
+@pytest.mark.slow
 def test_gaussian_unet_shaped_denoiser():
     """ar-3-style U-Net bottleneck: down-projection → DiT core → up with
     skips; loss + generate run end-to-end."""
@@ -161,6 +163,7 @@ def test_registry_unet_variant():
     assert m.config.unet_dims == (128, 64)
 
 
+@pytest.mark.slow
 def test_conv_unet_denoiser_value_domain():
     """ar-last's conv-UNet denoiser (``ar-last.py:186``): loss + generate run
     end-to-end in the value domain; masked tail stays zero; gradients flow

@@ -59,6 +59,7 @@ def _write_cfg(tmp_path, data_dir, model: str, extra: dict | None = None):
 
 
 @pytest.mark.parametrize("model", ["ar", "nar", "diffusion"])
+@pytest.mark.slow
 def test_train_main_smoke(tmp_path, data_dir, model):
     from tts_with_diffusion_model_tpu.train.train import main
 
@@ -80,6 +81,7 @@ def test_train_main_smoke(tmp_path, data_dir, model):
     assert "global_step" in text  # JSON stat lines present
 
 
+@pytest.mark.slow
 def test_train_resumes_from_checkpoint(tmp_path, data_dir):
     """Second run with max_iter=3 must resume at step 2, not restart."""
     from tts_with_diffusion_model_tpu.train.train import load_engines, main
@@ -92,6 +94,7 @@ def test_train_resumes_from_checkpoint(tmp_path, data_dir):
     assert engines.global_step == 2
 
 
+@pytest.mark.slow
 def test_train_main_eval_decode_audio(tmp_path, data_dir):
     """Eval wav dumps (re-enabled reference eval body) produce hyp/ref files."""
     from tts_with_diffusion_model_tpu.train.train import main
