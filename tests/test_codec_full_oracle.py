@@ -108,7 +108,11 @@ def test_verify_battery_passes_on_converted(oracle):
 
 def test_converter_accepts_alternate_key_layouts(oracle):
     """The HF transformers EncodecModel layout and torch>=2.1 parametrized
-    weight-norm keys convert to the identical parameter tree."""
+    weight-norm keys convert to the identical parameter tree.
+
+    The fabricated rename mirrors the *real* HF naming (verified against
+    ``transformers.EncodecModel.state_dict()``): transposed convs are named
+    ``conv`` like everything else — no ``convtr`` key exists in HF files."""
     import re
 
     model, params = oracle
@@ -116,6 +120,7 @@ def test_converter_accepts_alternate_key_layouts(oracle):
     hf_sd = {}
     for k, v in sd.items():
         k = re.sub(r"^(encoder|decoder)\.model\.", r"\1.layers.", k)
+        k = k.replace(".convtr.", ".conv.")  # HF has no 'convtr' names
         k = re.sub(
             r"^quantizer\.vq\.layers\.(\d+)\._codebook\.embed$",
             r"quantizer.layers.\1.codebook.embed",
@@ -124,7 +129,9 @@ def test_converter_accepts_alternate_key_layouts(oracle):
         k = k.replace(".weight_g", ".parametrizations.weight.original0")
         k = k.replace(".weight_v", ".parametrizations.weight.original1")
         hf_sd[k] = v
-    assert not any(".model." in k or "weight_g" in k for k in hf_sd)
+    assert not any(
+        ".model." in k or "weight_g" in k or "convtr" in k for k in hf_sd
+    )
 
     converted = convert_state_dict(hf_sd)
 
@@ -140,3 +147,52 @@ def test_converter_accepts_alternate_key_layouts(oracle):
     assert a.keys() == b.keys()
     for k in a:
         np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_hf_transformers_model_converts_and_matches():
+    """A real ``transformers.EncodecModel`` state_dict (small config, same
+    topology as the 24 kHz release) converts through the HF-layout funnel
+    and the flax model reproduces the HF encoder latents and decoder
+    waveform — a non-circular oracle for the HF naming scheme (transposed
+    convs named ``conv``, parametrized weight norm, extra codebook
+    statistics keys)."""
+    transformers = pytest.importorskip("transformers")
+    import re
+
+    torch.manual_seed(0)
+    cfg = transformers.EncodecConfig(
+        num_filters=4, hidden_size=8, codebook_size=16,
+        num_residual_layers=1, upsampling_ratios=[8, 5, 4, 2],
+    )
+    hf = transformers.EncodecModel(cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    assert not any("convtr" in k for k in sd)  # the HF quirk under test
+
+    params = convert_state_dict(sd)
+    n_q = sum(
+        1 for k in sd
+        if re.match(r"^quantizer\.layers\.\d+\.codebook\.embed$", k)
+    )
+    model = EncodecModel(dimension=8, n_filters=4, n_q_total=n_q, bins=16)
+
+    t = np.arange(HOP * 8) / 24_000.0
+    wav = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_z = hf.encoder(torch.from_numpy(wav)[None, None]).numpy()  # (1,C,F)
+    my_z = np.asarray(model.apply(
+        params, jnp.asarray(wav)[None, :, None],
+        method=EncodecModel.encode_latents,
+    ))  # (1, F, C)
+    np.testing.assert_allclose(my_z[0].T, ref_z[0], atol=2e-5, rtol=1e-4)
+
+    with torch.no_grad():
+        ref_wav = hf.decoder(torch.from_numpy(ref_z)).numpy()  # (1,1,T)
+    my_wav = np.asarray(model.apply(
+        params, jnp.asarray(ref_z.transpose(0, 2, 1)),
+        method=EncodecModel.decode_latents,
+    ))  # (1, T, 1)
+    scale = max(abs(ref_wav).max(), 1.0)
+    np.testing.assert_allclose(
+        my_wav[0, :, 0], ref_wav[0, 0], atol=1e-4 * scale, rtol=1e-3
+    )

@@ -172,3 +172,24 @@ def test_dataloader_training_threaded(data_dir):
         seen_paths.update(b["path"])
     it.close()  # generator close must stop the worker threads
     assert len(seen_paths) > 1  # random draws cover multiple utterances
+
+
+def test_dataloader_worker_exception_propagates(data_dir):
+    """A worker exception must crash the training loop, not leave it
+    blocked forever on an empty queue (all-workers-dead stall)."""
+    t1, _ = load_train_val_paths([data_dir], get_spkr())
+    ds = VALLEDataset(t1, get_spkr(), min_phones=3, max_phones=100, training=True)
+
+    class Exploding:
+        def __getitem__(self, i):
+            raise RuntimeError("corrupt sample")
+
+    bucket = BucketSpec(40, 120, 90)
+    dl = DataLoader(ds, batch_size=3, bucket=bucket, training=True, nj=2)
+    dl.dataset = Exploding()
+    it = iter(dl)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="corrupt sample"):
+        next(it)
+    it.close()

@@ -239,3 +239,8 @@ def test_engines_async_stats(tmp_path):
     s3 = engines.step(batch=batch)
     assert s3["global_step"] == 2
     assert np.isfinite(s3["m.loss"])
+    # the final step's stats are still in the lag slot — flush drains them
+    s4 = engines.flush_stats()
+    assert s4 is not None and s4["global_step"] == 3
+    assert np.isfinite(s4["m.loss"])
+    assert engines.flush_stats() is None  # slot drained

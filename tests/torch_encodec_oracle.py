@@ -209,7 +209,10 @@ class TorchEncodec24k(nn.Module):
         for i in range(4):
             sd.update(_convtr_sd(self.dec_up[i], f"decoder.model.{3 + 3 * i}"))
             sd.update(self.dec_blocks[i].sd(f"decoder.model.{4 + 3 * i}"))
-        sd.update(_conv_sd(self.dec_out, "decoder.model.14"))
+        # final conv sits after the trailing ELU: index 15, as in the real
+        # checkpoint layout (decoder = [conv0, lstm1, (elu, convtr, res)×4,
+        # elu14, conv15])
+        sd.update(_conv_sd(self.dec_out, "decoder.model.15"))
 
         for q in range(N_Q):
             sd[f"quantizer.vq.layers.{q}._codebook.embed"] = (

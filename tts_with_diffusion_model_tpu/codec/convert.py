@@ -97,6 +97,12 @@ def normalize_checkpoint_keys(sd: dict) -> dict:
     out = {}
     for k, v in sd.items():
         k = re.sub(r"^(encoder|decoder)\.layers\.", r"\1.model.", k)
+        # HF names the decoder's *transposed* convs ``conv`` too; the
+        # official layout calls them ``convtr``.  For the fixed 24 kHz
+        # topology the upsample layers sit at decoder indices 3/6/9/12
+        # (official checkpoints already say ``convtr`` there, so this
+        # rewrite only ever fires on HF keys).
+        k = re.sub(r"^decoder\.model\.(3|6|9|12)\.conv\.", r"decoder.model.\1.convtr.", k)
         k = re.sub(
             r"^quantizer\.layers\.(\d+)\.codebook\.embed$",
             r"quantizer.vq.layers.\1._codebook.embed",
@@ -178,7 +184,11 @@ def convert_state_dict(sd: dict) -> dict:
     for i in range(n_ratios):
         dec[f"up_{i}"] = _convtr(sd, f"decoder.model.{3 + 3 * i}")
         dec[f"block_{i}"] = _resblock(sd, f"decoder.model.{4 + 3 * i}")
-    dec["conv_out"] = _conv(sd, f"decoder.model.{2 + 3 * n_ratios}")
+    # The decoder ends [..., res13, ELU14, conv15]: the final conv sits at
+    # 3 + 3·n_ratios (= 15), after the trailing activation — verified
+    # against the real transformers EncodecModel layout (index 14 is the
+    # parameterless ELU and appears in no checkpoint).
+    dec["conv_out"] = _conv(sd, f"decoder.model.{3 + 3 * n_ratios}")
 
     n_q = 0
     while f"quantizer.vq.layers.{n_q}._codebook.embed" in sd:

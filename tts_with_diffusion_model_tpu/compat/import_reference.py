@@ -56,7 +56,15 @@ def _dims_from_sd(sd: dict, family: str) -> dict:
         n_layers = 1 + max(
             int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
         )
-        return {"d_model": int(d_model), "n_layers": int(n_layers)}
+        # timesteps and vocab live in the embedding-table shapes — a
+        # checkpoint trained at non-default sizes must rebuild the same
+        # architecture, not the registry defaults.
+        return {
+            "d_model": int(d_model),
+            "n_layers": int(n_layers),
+            "timesteps": int(sd["time_emb.weight"].shape[0]) - 1,
+            "num_tokens": int(sd["text_emb.weight"].shape[0]) - 1,
+        }
     n_tokens = sd["text_emb.weight"].shape[0]
     d_model = sd["text_emb.weight"].shape[1]
     n_layers = 1 + max(
@@ -95,14 +103,13 @@ def import_checkpoint(
         params = {"params": dit_params_from_torch(sd, dims["n_layers"])}
         meta = {
             "model": "diffusion",
-            "num_tokens": 1024,
             "n_heads": n_heads or 16,   # the reference hard-codes nhead=16
             "imported_from": str(src),
             # reference-parity architecture knobs (ar_discrete.py defaults)
             "tower_ffn_dim": 2048,
             "tower_act": "relu",
             "resp_pe": False,
-            **{k: v for k, v in dims.items() if k != "num_tokens"},
+            **dims,  # d_model/n_layers/timesteps/num_tokens from the sd
         }
     else:
         norm = "adaln" if fam == "nar" else "ln"

@@ -306,12 +306,23 @@ class DataLoader:
         stop = threading.Event()
 
         def worker():
-            while not stop.is_set():
-                samples = [self.dataset[0] for _ in range(self.batch_size)]
-                batch = collate(samples, self.bucket)
+            # A worker exception must reach the training loop: a dead
+            # worker with no error channel would leave the main thread
+            # blocked on q.get() forever (silent mid-training stall).
+            try:
+                while not stop.is_set():
+                    samples = [self.dataset[0] for _ in range(self.batch_size)]
+                    batch = collate(samples, self.bucket)
+                    while not stop.is_set():
+                        try:
+                            q.put(("batch", batch), timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:  # noqa: BLE001 — re-raised by consumer
                 while not stop.is_set():
                     try:
-                        q.put(batch, timeout=0.2)
+                        q.put(("error", e), timeout=0.2)
                         break
                     except queue.Full:
                         continue
@@ -324,7 +335,10 @@ class DataLoader:
             t.start()
         try:
             while True:
-                yield q.get()
+                kind, payload = q.get()
+                if kind == "error":
+                    raise payload
+                yield payload
         finally:
             stop.set()
 

@@ -154,8 +154,11 @@ class Synthesizer:
         """Run the device stages on up to ``max_batch`` prepared rows →
         per-request (t, 8) codec codes (no waveform decode).
 
-        The batch is always padded to ``max_batch`` with copies of row 0
-        (discarded), so exactly one program per stage is ever compiled.
+        Two batch buckets keep programs compile-once without taxing idle
+        servers: a lone request runs the B=1 program (a single request on a
+        ``--max-batch 8`` server would otherwise pay the full B=8 compute —
+        ~5× its latency at measured generation times); 2+ requests pad to
+        ``max_batch`` with copies of row 0 (discarded).
         """
         from .models.ar import ar_generate
         from .models.nar import nar_generate
@@ -163,7 +166,8 @@ class Synthesizer:
         if not 1 <= len(prepared) <= self.max_batch:
             raise ValueError(f"need 1..{self.max_batch} requests")
         n_req = len(prepared)
-        rows = prepared + [prepared[0]] * (self.max_batch - n_req)
+        pad_to = 1 if n_req == 1 else self.max_batch
+        rows = prepared + [prepared[0]] * (pad_to - n_req)
 
         def stack(key):
             return jnp.asarray(np.concatenate([r[key] for r in rows], axis=0))
@@ -179,7 +183,7 @@ class Synthesizer:
                 )[:, : self.gen_len]
                 lvl0 = np.asarray(toks, np.int32)
                 n_resp = self.gen_len
-                lens = [self.gen_len] * self.max_batch
+                lens = [self.gen_len] * pad_to
             else:
                 toks, lens_a = ar_generate(
                     self.first, self.first_params, text_a, text_m, prom_a,
@@ -188,12 +192,12 @@ class Synthesizer:
                 )
                 n_resp = self.max_ar_steps  # static bucket; mask below
                 lens = [max(int(n), 1) for n in np.asarray(lens_a)]
-                lvl0 = np.zeros((self.max_batch, n_resp), np.int32)
+                lvl0 = np.zeros((pad_to, n_resp), np.int32)
                 toks = np.asarray(toks)
                 for i, n in enumerate(lens):
                     lvl0[i, :n] = toks[i, :n]
 
-            rm = np.zeros((self.max_batch, n_resp), np.float32)
+            rm = np.zeros((pad_to, n_resp), np.float32)
             for i, n in enumerate(lens):
                 rm[i, :n] = 1
             codes = nar_generate(

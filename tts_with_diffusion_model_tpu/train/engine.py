@@ -348,3 +348,16 @@ class Engines(dict):
         out["elapsed_time"] = time.time() - t0
         out["wall_time"] = time.time()
         return out
+
+    def flush_stats(self) -> dict | None:
+        """Drain the lagged stats slot after the final step.
+
+        With ``cfg.async_stats`` on, each ``step`` returns the *previous*
+        step's stats — without a flush the last step's loss would never be
+        logged (it matters most on short runs and early quits)."""
+        pending, self._pending = self._pending, None
+        if pending is None:
+            return None
+        out = _to_floats(pending[0])
+        out["wall_time"] = pending[1]
+        return out

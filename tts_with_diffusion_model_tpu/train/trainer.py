@@ -177,6 +177,13 @@ def train(
     if startup in ("quit", "eval_quit"):
         return
 
+    def flush_async_stats():
+        # cfg.async_stats lags stats one step; the final step's line is
+        # still in the slot when the loop exits (Engines.flush_stats).
+        final = getattr(engines, "flush_stats", lambda: None)()
+        if final:
+            logger(data=final)
+
     for batch in _make_infinite_epochs(train_dl):
         if engines.global_step >= cfg.max_iter:
             break
@@ -216,4 +223,6 @@ def train(
         if want_eval:
             eval_fn(engines=engines)
         if want_quit:
+            flush_async_stats()
             return
+    flush_async_stats()
