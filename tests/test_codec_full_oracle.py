@@ -196,3 +196,37 @@ def test_hf_transformers_model_converts_and_matches():
     np.testing.assert_allclose(
         my_wav[0, :, 0], ref_wav[0, 0], atol=1e-4 * scale, rtol=1e-3
     )
+
+
+def test_converter_accepts_official_encodec_nesting(oracle):
+    """The official ``encodec`` package nests SConv1d→NormConv1d→Conv1d, so
+    its ``.th`` state_dict doubles module names (``...conv.conv.weight_g``,
+    ``...convtr.convtr.weight_g``) relative to the canonical single-level
+    layout the oracle emits.  The fabricated rename reproduces that
+    documented nesting; conversion must yield the identical tree."""
+    model, params = oracle
+    sd = model.checkpoint_state_dict()
+    official_sd = {}
+    for k, v in sd.items():
+        k = k.replace(".conv.weight", ".conv.conv.weight")
+        k = k.replace(".conv.bias", ".conv.conv.bias")
+        k = k.replace(".convtr.weight", ".convtr.convtr.weight")
+        k = k.replace(".convtr.bias", ".convtr.convtr.bias")
+        official_sd[k] = v
+    assert any(".conv.conv." in k for k in official_sd)
+    assert any(".convtr.convtr." in k for k in official_sd)
+
+    converted = convert_state_dict(official_sd)
+
+    def flat(d, p=""):
+        for k, v in d.items():
+            kk = f"{p}/{k}"
+            if isinstance(v, dict):
+                yield from flat(v, kk)
+            else:
+                yield kk, v
+
+    a, b = dict(flat(params)), dict(flat(converted))
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])

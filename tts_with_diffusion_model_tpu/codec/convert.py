@@ -103,6 +103,11 @@ def normalize_checkpoint_keys(sd: dict) -> dict:
         # (official checkpoints already say ``convtr`` there, so this
         # rewrite only ever fires on HF keys).
         k = re.sub(r"^decoder\.model\.(3|6|9|12)\.conv\.", r"decoder.model.\1.convtr.", k)
+        # Official ``encodec`` nests SConv1d→NormConv1d→Conv1d (and the
+        # transposed analogue), so its state_dict doubles the module name:
+        # ``...conv.conv.weight_g`` / ``...convtr.convtr.weight_g``.
+        # Collapse to the single-level canonical names.
+        k = k.replace(".conv.conv.", ".conv.").replace(".convtr.convtr.", ".convtr.")
         k = re.sub(
             r"^quantizer\.layers\.(\d+)\.codebook\.embed$",
             r"quantizer.vq.layers.\1._codebook.embed",
