@@ -317,8 +317,14 @@ class Synthesizer:
         return SAMPLE_RATE
 
     def warmup(self, reference: str | Path):
-        """Compile every device program once with bucket shapes."""
+        """Compile every device program once with bucket shapes — both the
+        B=1 bucket and, when micro-batching, the coalesced ``max_batch``
+        bucket, so no live request ever pays a compile."""
         self.synthesize("warm up the compiler", reference)
+        if self.max_batch > 1:
+            self.synthesize_batch(
+                [("warm up the compiler", reference, 0)] * 2
+            )
         _logger.info("Synthesizer warm")
 
 
