@@ -235,7 +235,7 @@ def test_converter_structural_roundtrip(tmp_path):
         r = [8, 5, 4, 2][i]
         add_convtr(f"decoder.model.{3 + 3 * i}", cin, cout, 2 * r)
         add_block(f"decoder.model.{4 + 3 * i}", cout)
-    add_conv("decoder.model.14", 32, 1, 7)
+    add_conv("decoder.model.15", 32, 1, 7)  # after the trailing ELU (real layout)
 
     for q in range(32):
         sd[f"quantizer.vq.layers.{q}._codebook.embed"] = t(1024, 128)
