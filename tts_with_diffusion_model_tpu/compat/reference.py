@@ -33,6 +33,7 @@ exactly.
 from __future__ import annotations
 
 import importlib
+import importlib.machinery
 import importlib.util
 import os
 import sys
@@ -47,6 +48,25 @@ _ref_cache: dict[str, SimpleNamespace] = {}
 
 
 # ---------------------------------------------------------------- stubs
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    """A ``sys.modules`` stand-in with a real ``ModuleSpec``.
+
+    A bare ``types.ModuleType`` has ``__spec__ = None``, which makes
+    ``importlib.util.find_spec(name)`` *raise* ``ValueError`` instead of
+    answering — and ``transformers`` probes ``find_spec("timm")`` at import
+    time, so a spec-less stub poisons any later ``import transformers`` in
+    the same process (the round-2 order-dependent failure of
+    ``tests/test_codec_full_oracle.py``).  Stubs must be honest citizens of
+    the import system.
+    """
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    if "." not in name:  # top-level stubs act as namespace-ish packages
+        mod.__spec__.submodule_search_locations = []
+        mod.__path__ = []
+    return mod
 
 
 def install_dependency_stubs() -> None:
@@ -88,9 +108,9 @@ def install_dependency_stubs() -> None:
             def forward(self, x):
                 return self.drop2(self.fc2(self.norm(self.drop1(self.act(self.fc1(x))))))
 
-        timm = types.ModuleType("timm")
-        timm_models = types.ModuleType("timm.models")
-        timm_vt = types.ModuleType("timm.models.vision_transformer")
+        timm = _stub_module("timm")
+        timm_models = _stub_module("timm.models")
+        timm_vt = _stub_module("timm.models.vision_transformer")
         timm_vt.Mlp = Mlp
         timm_vt.PatchEmbed = type("PatchEmbed", (), {})
         timm_vt.Attention = type("Attention", (), {})
@@ -101,7 +121,7 @@ def install_dependency_stubs() -> None:
         sys.modules["timm.models.vision_transformer"] = timm_vt
 
     if "diffusers" not in sys.modules:
-        diffusers = types.ModuleType("diffusers")
+        diffusers = _stub_module("diffusers")
         for name in (
             "UNet3DConditionModel",
             "UNet2DConditionModel",

@@ -100,8 +100,10 @@ class DiffusionModel:
         self,
         params,
         batch: dict,
-        rng: jax.Array,
+        rng: jax.Array | None,
         max_t: int | None = None,
+        q_noise: jax.Array | None = None,
+        conds: tuple | None = None,
     ):
         """Masked x_0-prediction CE (≡ ``ar_discrete.py:651-693``).
 
@@ -109,6 +111,13 @@ class DiffusionModel:
         resp (B,Tr) level-0 ints, resp_mask.  ``max_t`` caps the timestep
         range (the ``max_train_diffusion_steps`` config knob,
         ``utils/config.py:26``).
+
+        ``q_noise`` injects the forward-corruption uniform noise instead of
+        drawing from ``rng`` — shape (T-1, B, Tr, V) for ``all_t``, (B, Tr, V)
+        for ``sampled`` (with ``rng`` still drawing the timesteps).  ``conds``
+        injects precomputed (text_cond, spkr_cond) towers.  Both exist so the
+        oracle suite can run the reference's composite training forward
+        (``ar_discrete.py:588-694``) and this loss on identical randomness.
         """
         c = self.config
         T = max_t or c.timesteps
@@ -117,12 +126,15 @@ class DiffusionModel:
         resp, rm = batch["resp"], batch["resp_mask"]
         B = resp.shape[0]
 
-        text_cond, spkr_cond = self.denoiser.apply(
-            params, text, tm, proms, pm, method=DiTDenoiser.conds
-        )
+        if conds is not None:
+            text_cond, spkr_cond = conds
+        else:
+            text_cond, spkr_cond = self.denoiser.apply(
+                params, text, tm, proms, pm, method=DiTDenoiser.conds
+            )
 
-        def ce_at_t(t, noise_rng):
-            x_t = self.d3pm.q_sample(resp, t, rng=noise_rng)
+        def ce_at_t(t, noise_rng, noise=None):
+            x_t = self.d3pm.q_sample(resp, t, uniform_noise=noise, rng=noise_rng)
             x_t = (x_t * rm).astype(jnp.int32)
             logits = self.denoiser.apply(
                 params, x_t, rm, t, text_cond, tm, spkr_cond, pm,
@@ -136,21 +148,31 @@ class DiffusionModel:
             # Reference-parity: every timestep 1..T-1 per batch
             # (``ar_discrete.py:651``), averaged (the reference's
             # ``/mask.sum()`` normalization is a quirk; mean is the intent).
-            rngs = jax.random.split(rng, T - 1)
+            if q_noise is not None:
+                def body(carry, inp):
+                    t_scalar, noise = inp
+                    t = jnp.full((B,), t_scalar, jnp.int32)
+                    return carry + ce_at_t(t, None, noise), None
 
-            def body(carry, inp):
-                t_scalar, r = inp
-                t = jnp.full((B,), t_scalar, jnp.int32)
-                return carry + ce_at_t(t, r), None
+                total, _ = jax.lax.scan(
+                    body, jnp.float32(0.0), (jnp.arange(1, T), q_noise)
+                )
+            else:
+                rngs = jax.random.split(rng, T - 1)
 
-            total, _ = jax.lax.scan(
-                body, jnp.float32(0.0), (jnp.arange(1, T), rngs)
-            )
+                def body(carry, inp):
+                    t_scalar, r = inp
+                    t = jnp.full((B,), t_scalar, jnp.int32)
+                    return carry + ce_at_t(t, r), None
+
+                total, _ = jax.lax.scan(
+                    body, jnp.float32(0.0), (jnp.arange(1, T), rngs)
+                )
             loss = total / (T - 1)
         else:
             rng_t, rng_n = jax.random.split(rng)
             t = jax.random.randint(rng_t, (B,), 1, T)
-            loss = ce_at_t(t, rng_n)
+            loss = ce_at_t(t, rng_n, q_noise)
 
         return loss, {"nll": loss}
 
