@@ -344,3 +344,48 @@ def test_strided_generation_recovers_overfit_sequence():
     )
     acc = float((out[0] == tgt[0]).mean())
     assert acc > 0.6, acc
+
+
+def test_diffusion_generate_cohort_independent():
+    """Per-row PRNG isolation at the model level: with per-row keys, a
+    row's generated tokens do not depend on batch size or position
+    (utils/rng.py — the serving micro-batcher relies on this)."""
+    import jax
+
+    from tts_with_diffusion_model_tpu.models.diffusion import (
+        DiffusionConfig,
+        DiffusionModel,
+    )
+    from tts_with_diffusion_model_tpu.utils.rng import row_keys_from_seeds
+
+    cfg = DiffusionConfig(
+        n_classes=33, d_model=16, n_heads=2, n_layers=1, timesteps=6,
+        resp_len=12, text_len=4, prom_len=5, gen_len=10,
+    )
+    model = DiffusionModel(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+
+    B = 3
+    rng = np.random.default_rng(7)
+    text = jnp.asarray(rng.integers(1, 33, (B, 4)), jnp.int32)
+    tm = jnp.ones((B, 4), jnp.float32)
+    proms = jnp.asarray(rng.integers(0, 33, (B, 5, 8)), jnp.int32)
+    pm = jnp.ones((B, 5), jnp.float32)
+    keys = row_keys_from_seeds([101, 202, 303])
+
+    batched = np.asarray(
+        model.generate(params, text, tm, proms, pm, keys)
+    )
+    for i in range(B):
+        solo = np.asarray(model.generate(
+            params, text[i : i + 1], tm[i : i + 1],
+            proms[i : i + 1], pm[i : i + 1], keys[i : i + 1],
+        ))
+        np.testing.assert_array_equal(solo[0], batched[i])
+
+    # stride-invariance of the noise stream is keyed by process timestep;
+    # single-key (non-row) calls still work and split per row
+    single = np.asarray(
+        model.generate(params, text, tm, proms, pm, jax.random.PRNGKey(5))
+    )
+    assert single.shape == batched.shape

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import jax
 import numpy as np
 
 WORD_SEP = "_"
@@ -122,9 +121,7 @@ def iter_segment_codes(
         if submit_row is not None:
             codes = submit_row(row, derived)
         else:
-            codes = synth.synthesize_codes_batch(
-                [row], jax.random.PRNGKey(derived)
-            )[0]
+            codes = synth.synthesize_codes_batch([row], [derived])[0]
         yield codes
         if continuation_frames:
             prev_tail = codes[-continuation_frames:]

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..utils.rng import as_row_keys, fold_rows, row_gumbel
 from .base import Base, build_targets, masked_cross_entropy, sample_categorical
 
 
@@ -127,6 +128,10 @@ def ar_generate(
     Module-level jit (model is a hashable static arg) so compilations cache
     across calls with the same shapes.
 
+    ``rng``: one key or per-row keys (B, 2); sampling noise is drawn per
+    row, so a row's tokens depend only on its own key regardless of batch
+    cohort (``utils/rng.py``).
+
     Returns (tokens (B, max_steps), lengths (B,)): tokens after each
     sample's stop token are junk; ``lengths`` gives the pruned length
     (≡ ``AR._prune``, ``ar.py:107-111``).
@@ -142,23 +147,30 @@ def ar_generate(
         method=AR.prefill,
     )
 
-    def sample(rng_i, logits):
-        return sample_categorical(rng_i, logits, sampling_temperature)
+    row_keys = as_row_keys(rng, B)
 
-    rngs = jax.random.split(rng, max_steps + 1)
-    tok0 = sample(rngs[0], last_logits)
+    def sample(step_i, logits):
+        if sampling_temperature <= 0:
+            return sample_categorical(None, logits, 0.0)
+        noise = row_gumbel(fold_rows(row_keys, step_i), logits.shape[1:])
+        return sample_categorical(
+            None, logits, sampling_temperature, gumbel_noise=noise
+        )
 
-    def step(carry, rng_i):
+    tok0 = sample(0, last_logits)
+
+    def step(carry, step_i):
         tok, cache, stopped = carry
         logits, cache = model.apply(params, tok, cache, method=AR.decode_step)
-        nxt = sample(rng_i, logits)
+        nxt = sample(step_i, logits)
         nxt = jnp.where(stopped, stop, nxt)
         stopped = stopped | (nxt == stop)
         return (nxt, cache, stopped), tok
 
     stopped0 = tok0 == stop
     (_, _, _), toks = jax.lax.scan(
-        step, (tok0, cache, stopped0), rngs[1:], length=max_steps
+        step, (tok0, cache, stopped0), jnp.arange(1, max_steps + 1),
+        length=max_steps,
     )
     # toks[i] is the token fed at step i, i.e. the sampled sequence shifted:
     # sequence = [tok0, toks[1], ...]; scan emits the carry token so toks

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..diffusion.d3pm import D3PM
+from ..utils.rng import as_row_keys, fold_rows, row_uniform
 from .dit import DiTDenoiser
 
 
@@ -196,6 +197,10 @@ class DiffusionModel:
         evaluations instead of 99 for ~3× lower latency (quality/speed knob
         the reference's dense-matrix formulation can't offer cheaply).
 
+        ``rng`` is either one key or per-row keys (B, 2); all sampling noise
+        is drawn per row, so a row's tokens depend only on its own key —
+        batched serving stays per-request reproducible (``utils/rng.py``).
+
         Returns (B, resp_len) int tokens; positions ≥ gen_len are 0.
         """
         c = self.config
@@ -219,22 +224,31 @@ class DiffusionModel:
         ss_list = ts_list[1:] + [0]
         ts = jnp.asarray(ts_list, jnp.int32)
         ss = jnp.asarray(ss_list, jnp.int32)
-        rngs = jax.random.split(rng, ts.shape[0])
+        row_keys = as_row_keys(rng, B)
 
         def step(x_t, inp):
-            t_scalar, s_scalar, r = inp
+            t_scalar, s_scalar = inp
             t = jnp.full((B,), t_scalar, jnp.int32)
             s = jnp.full((B,), s_scalar, jnp.int32)
             logits = self.denoiser.apply(
                 params, x_t, rm, t, kv_list, text_mask, prom_mask,
                 method=DiTDenoiser.denoise_with_kv,
             )
+            # Per-row noise keyed by the *process* timestep (not the loop
+            # index), so a row's draw stream is also stride-invariant.
+            noise = row_uniform(
+                fold_rows(row_keys, t_scalar), logits.shape[1:]
+            )
             if stride == 1:
-                x_prev = self.d3pm.p_sample(logits, t, x_t, rng=r)
+                x_prev = self.d3pm.p_sample(
+                    logits, t, x_t, uniform_noise=noise
+                )
             else:
-                x_prev = self.d3pm.p_sample_strided(logits, t, s, x_t, rng=r)
+                x_prev = self.d3pm.p_sample_strided(
+                    logits, t, s, x_t, uniform_noise=noise
+                )
             x_prev = (x_prev * rm).astype(jnp.int32)
             return x_prev, None
 
-        x, _ = jax.lax.scan(step, x, (ts, ss, rngs))
+        x, _ = jax.lax.scan(step, x, (ts, ss))
         return x

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..utils.rng import as_row_keys, fold_rows, row_gumbel
 from .base import Base, build_targets, masked_cross_entropy, sample_categorical
 
 
@@ -163,6 +164,10 @@ def nar_generate(
 ):
     """Fill levels 1..7 given level 0 (≡ ``nar.py:76-99``).
 
+    ``rng``: one key or per-row keys (B, 2); per-level sampling noise is
+    drawn per row (keyed by the level index), so a row's codes depend only
+    on its own key regardless of batch cohort (``utils/rng.py``).
+
     Returns (B, Tr, 8) full-level codes.  The level loop is a static
     7-iteration Python loop over one jitted program (shapes identical per
     level, so XLA compiles once).
@@ -170,6 +175,7 @@ def nar_generate(
     B, Tr = resp_level0.shape
     buf = jnp.zeros((B, Tr, model.n_resp_levels), dtype=jnp.int32)
     buf = buf.at[..., 0].set(resp_level0)
+    row_keys = as_row_keys(rng, B)
 
     out_levels = [resp_level0]
     for n_known in range(1, model.n_resp_levels + 1):
@@ -177,8 +183,15 @@ def nar_generate(
             model, params, text, text_mask, proms, prom_mask, buf, resp_mask,
             jnp.int32(n_known),
         )
-        rng, sub = jax.random.split(rng)
-        sampled = sample_categorical(sub, logits, sampling_temperature)
+        if sampling_temperature <= 0:
+            sampled = sample_categorical(None, logits, 0.0)
+        else:
+            noise = row_gumbel(
+                fold_rows(row_keys, n_known), logits.shape[1:]
+            )
+            sampled = sample_categorical(
+                None, logits, sampling_temperature, gumbel_noise=noise
+            )
         sampled = jnp.where(resp_mask > 0, sampled, 0)
         out_levels.append(sampled)
         if n_known < model.n_resp_levels:

@@ -24,9 +24,10 @@ provides:
 
 Request handling is serialized around the single accelerator (the HTTP
 layer is threaded for I/O; device work goes through the batcher / a lock).
-Sampling note: in batch mode the device RNG key is derived by folding every
-request's seed into one key, so a request's output depends on its batch
-cohort; per-seed reproducibility holds at ``max_batch=1``.
+Sampling note: every request's sampling noise derives only from its *own*
+seed (per-row PRNG keys, ``utils/rng.py``), so the same (text, reference,
+seed) returns bit-identical audio whether the request runs alone or inside
+any micro-batch cohort.
 """
 
 from __future__ import annotations
@@ -149,10 +150,14 @@ class Synthesizer:
         return self._prepare_ids(self.phone_ids(text), self.prompt_codes(reference))
 
     def synthesize_codes_batch(
-        self, prepared: list[dict], rng: jax.Array
+        self, prepared: list[dict], seeds: list[int]
     ) -> list[np.ndarray]:
         """Run the device stages on up to ``max_batch`` prepared rows →
         per-request (t, 8) codec codes (no waveform decode).
+
+        ``seeds`` carries one request seed per row; each row's sampling
+        noise derives only from its own seed (per-row keys + per-stage
+        fold), so outputs are cohort-independent.
 
         Two batch buckets keep programs compile-once without taxing idle
         servers: a lone request runs the B=1 program (a single request on a
@@ -162,19 +167,25 @@ class Synthesizer:
         """
         from .models.ar import ar_generate
         from .models.nar import nar_generate
+        from .utils.rng import fold_rows, row_keys_from_seeds
 
         if not 1 <= len(prepared) <= self.max_batch:
             raise ValueError(f"need 1..{self.max_batch} requests")
+        if len(seeds) != len(prepared):
+            raise ValueError("need one seed per prepared row")
         n_req = len(prepared)
         pad_to = 1 if n_req == 1 else self.max_batch
         rows = prepared + [prepared[0]] * (pad_to - n_req)
+        row_seeds = list(seeds) + [seeds[0]] * (pad_to - n_req)
 
         def stack(key):
             return jnp.asarray(np.concatenate([r[key] for r in rows], axis=0))
 
         text_a, text_m = stack("text"), stack("text_mask")
         prom_a, prom_m = stack("proms"), stack("prom_mask")
-        r1, r2 = jax.random.split(rng)
+        row_keys = row_keys_from_seeds(row_seeds)
+        r1 = fold_rows(row_keys, 0)  # first stage (AR / diffusion)
+        r2 = fold_rows(row_keys, 1)  # NAR stage
 
         with self._lock:
             if self.is_diffusion:
@@ -232,10 +243,9 @@ class Synthesizer:
         if not 1 <= len(requests) <= self.max_batch:
             raise ValueError(f"need 1..{self.max_batch} requests")
         prepared = [self._prepare(t, ref) for t, ref, _ in requests]
-        rng = jax.random.PRNGKey(int(requests[0][2]))
-        for _, _, seed in requests[1:]:
-            rng = jax.random.fold_in(rng, int(seed))
-        codes = self.synthesize_codes_batch(prepared, rng)
+        codes = self.synthesize_codes_batch(
+            prepared, [int(seed) for _, _, seed in requests]
+        )
         return [self.decode_codes(c) for c in codes]
 
     def synthesize(self, text: str, reference: str | Path, seed: int = 0):
@@ -252,7 +262,7 @@ class Synthesizer:
             return synthesize_long(self, text, reference, seed=seed,
                                    phones=phones)
         row = self._prepare_ids(ids, self.prompt_codes(reference))
-        codes = self.synthesize_codes_batch([row], jax.random.PRNGKey(int(seed)))
+        codes = self.synthesize_codes_batch([row], [int(seed)])
         return self.decode_codes(codes[0])
 
     def synthesize_stream(
@@ -285,9 +295,7 @@ class Synthesizer:
             if submit_row is not None:  # coalesce with batched traffic
                 codes = submit_row(row, int(seed))
             else:
-                codes = self.synthesize_codes_batch(
-                    [row], jax.random.PRNGKey(int(seed))
-                )[0]
+                codes = self.synthesize_codes_batch([row], [int(seed)])[0]
             wav, _ = self.decode_codes(codes)
             yield wav
             return
@@ -388,11 +396,8 @@ class Batcher:
                 except queue.Empty:
                     break
             try:
-                rng = jax.random.PRNGKey(batch[0]["seed"])
-                for b in batch[1:]:
-                    rng = jax.random.fold_in(rng, b["seed"])
                 codes = self.synth.synthesize_codes_batch(
-                    [b["row"] for b in batch], rng
+                    [b["row"] for b in batch], [b["seed"] for b in batch]
                 )
                 for b, c in zip(batch, codes):
                     b["codes"] = c
