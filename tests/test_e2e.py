@@ -150,6 +150,33 @@ def test_cli_longform_auto_engages(zoo, monkeypatch, tmp_path):
     assert frames >= 2 * 40 and frames % 40 == 0
 
 
+def test_cli_ar_longform_auto_engages(zoo, monkeypatch, tmp_path):
+    """AR bundles engage long-form too, past the 50-phone serving bucket
+    (ADVICE r2: the capacity check previously covered only diffusion first
+    stages, so over-long AR requests ran the whole text through one ragged
+    generation instead of chained segments)."""
+    from tts_with_diffusion_model_tpu.__main__ import main
+
+    out = tmp_path / "out_ar_long.wav"
+    long_text = (
+        "I am here to make some noise and then make even more noise today "
+        "and tomorrow we will keep on making noise until everyone hears it"
+    )
+    argv = [
+        "prog", long_text,
+        str(zoo / "ref.wav"), str(out),
+        "--ar-ckpt", str(zoo / "ar"),
+        "--nar-ckpt", str(zoo / "nar"),
+        "--fp32", "--max-ar-steps", "8",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    main()
+    from tts_with_diffusion_model_tpu.audio.wavio import read_wav
+
+    wav, sr = read_wav(out)
+    assert sr == 24_000 and wav.shape[1] > 0
+
+
 def test_bundle_roundtrip(zoo):
     params, meta, phone_symmap, spkr_symmap = load_bundle(zoo / "ar")
     assert meta["model"] == "ar"

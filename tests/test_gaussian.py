@@ -206,3 +206,49 @@ def test_registry_unet2d_variant():
     assert m.config.denoiser == "conv-unet"
     assert m.config.domain == "value"
     assert m.config.unet_dims == ()
+
+
+def test_conv_unet_masked_norm_bucket_invariant():
+    """MaskedGroupNorm (ADVICE r2): normalization statistics cover valid
+    frames only, so the same utterance produces identical denoiser outputs
+    at its valid frames regardless of how much padding the resp bucket
+    adds (16-frame vs 32-frame bucket, 12 valid frames)."""
+    import numpy as np
+
+    from tts_with_diffusion_model_tpu.models.unet import ConvUNetDenoiser
+
+    den = ConvUNetDenoiser(
+        in_dim=4, d_model=16, n_heads=2, n_classes=33, n_prom_levels=8,
+        timesteps=6, channels=(8, 16), dtype=jnp.float32,
+    )
+    rng = jax.random.PRNGKey(11)
+    r = np.random.default_rng(5)
+    text = jnp.asarray(r.integers(1, 33, (1, 5)), jnp.int32)
+    tm = jnp.ones((1, 5), jnp.float32)
+    proms = jnp.asarray(r.integers(0, 33, (1, 7, 8)), jnp.int32)
+    pm = jnp.ones((1, 7), jnp.float32)
+    t = jnp.asarray([3], jnp.int32)
+
+    valid = 12
+    x16 = np.zeros((1, 16, 4), np.float32)
+    x16[0, :valid] = r.normal(size=(valid, 4))
+    m16 = np.zeros((1, 16), np.float32)
+    m16[0, :valid] = 1
+
+    params = den.init(rng, text, tm, proms, pm, jnp.asarray(x16),
+                      jnp.asarray(m16), t)
+    out16 = np.asarray(den.apply(
+        params, text, tm, proms, pm, jnp.asarray(x16), jnp.asarray(m16), t
+    ))
+
+    x32 = np.zeros((1, 32, 4), np.float32)
+    x32[0, :valid] = x16[0, :valid]
+    m32 = np.zeros((1, 32), np.float32)
+    m32[0, :valid] = 1
+    out32 = np.asarray(den.apply(
+        params, text, tm, proms, pm, jnp.asarray(x32), jnp.asarray(m32), t
+    ))
+
+    np.testing.assert_allclose(out32[0, :valid], out16[0, :valid],
+                               rtol=1e-4, atol=1e-5)
+    assert np.abs(out32[0, valid:]).sum() == 0

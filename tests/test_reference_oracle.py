@@ -739,8 +739,13 @@ def test_import_reference_pickled_checkpoint(ref, tmp_path):
     tm_model.spkr_symmap = {"sp01": 0}
     torch.save(tm_model, tmp_path / "ar.pt")
 
+    # A pickled-module checkpoint executes embedded code on unpickle, so
+    # the importer refuses it unless the operator opts in (ADVICE r2).
+    with pytest.raises(SystemExit, match="allow-pickle"):
+        import_checkpoint(tmp_path / "ar.pt", tmp_path / "bundle",
+                          n_heads=N_HEADS)
     meta = import_checkpoint(tmp_path / "ar.pt", tmp_path / "bundle",
-                             n_heads=N_HEADS)
+                             n_heads=N_HEADS, allow_pickle=True)
     assert meta["model"] == "ar" and meta["num_tokens"] == N_TOKENS
 
     params, meta2, phone_symmap, spkr_symmap = load_bundle(tmp_path / "bundle")

@@ -19,6 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+#: AR long-form engagement threshold ≡ the serving text bucket and the
+#: reference's training-time ``max_phones`` (``vall_e/config.py:44``).
+AR_TEXT_BUCKET = 50
+
 
 def first_stage_generate(meta, model, params, phn_ids, proms, rng, args):
     """Run the AR or diffusion first stage → level-0 token array (t,)."""
@@ -127,8 +131,14 @@ def main():
 
     from .models.diffusion import DiffusionModel
 
+    # Long-form capacity: a diffusion first stage has a hard text bucket;
+    # the AR stage is ragged but trained at ≤ max_phones (50 — the serving
+    # Synthesizer's text bucket), so both families chain segments past it
+    # instead of degrading/truncating (ADVICE r2: previously AR-bundle CLI
+    # runs never engaged long-form).
     first_capacity = (
-        ar.config.text_len if isinstance(ar, DiffusionModel) else None
+        ar.config.text_len if isinstance(ar, DiffusionModel)
+        else AR_TEXT_BUCKET
     )
     if args.segment_phones is not None or (
         first_capacity is not None and len(phn_ids) > first_capacity

@@ -25,11 +25,30 @@ import argparse
 from pathlib import Path
 
 
-def _load_torch_object(path: Path):
+def _load_torch_object(path: Path, allow_pickle: bool = False):
+    """Load a checkpoint, tensors-only by default.
+
+    ``weights_only=True`` handles raw state_dicts and DeepSpeed model-state
+    files without executing pickled code.  The reference's *export* format
+    is a whole pickled module (``export.py:20``) — unpickling it runs
+    arbitrary code from the file, so that path is an explicit opt-in
+    (``--allow-pickle``) reserved for checkpoints the operator trusts.
+    """
     import torch
 
     from .reference import load_reference
 
+    try:
+        return torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:  # noqa: BLE001 — fall through to the gated full load
+        pass
+    if not allow_pickle:
+        raise SystemExit(
+            f"{path} is not a tensors-only checkpoint (it is a pickled "
+            "module, the reference's export format). Unpickling executes "
+            "code embedded in the file; re-run with --allow-pickle only if "
+            "you trust its origin, or export a state_dict instead."
+        )
     # Pickled reference modules resolve against 'vall_e.vall_e.*' — the
     # synthetic packages load_reference registers provide exactly those.
     load_reference()
@@ -78,13 +97,17 @@ def _dims_from_sd(sd: dict, family: str) -> dict:
 
 
 def import_checkpoint(
-    src: Path, dst: Path, family: str = "auto", n_heads: int | None = None
+    src: Path,
+    dst: Path,
+    family: str = "auto",
+    n_heads: int | None = None,
+    allow_pickle: bool = False,
 ) -> dict:
     """Convert ``src`` → bundle directory ``dst``.  Returns the meta dict."""
     from ..export import save_bundle
     from .reference import base_params_from_torch, dit_params_from_torch
 
-    obj = _load_torch_object(src)
+    obj = _load_torch_object(src, allow_pickle=allow_pickle)
     phone_symmap, spkr_symmap = {}, {}
     if hasattr(obj, "state_dict"):  # pickled module (reference export format)
         phone_symmap = dict(getattr(obj, "phone_symmap", {}) or {})
@@ -135,8 +158,15 @@ def main():
     ap.add_argument("dst", type=Path)
     ap.add_argument("--family", default="auto", choices=["auto", "ar", "nar", "d3pm"])
     ap.add_argument("--n-heads", type=int, default=None)
+    ap.add_argument(
+        "--allow-pickle", action="store_true",
+        help="permit full unpickling for the reference's pickled-module "
+             "export format (executes code embedded in the checkpoint — "
+             "only for files you trust)",
+    )
     args = ap.parse_args()
-    meta = import_checkpoint(args.src, args.dst, args.family, args.n_heads)
+    meta = import_checkpoint(args.src, args.dst, args.family, args.n_heads,
+                             allow_pickle=args.allow_pickle)
     print(f"{args.dst} saved: {meta}")
 
 

@@ -29,10 +29,44 @@ from .base import EMBED, VOCAB, MultiEmbedding, sinusoidal_embedding
 from .dit import MHA, CondTower
 
 
+class MaskedGroupNorm(nn.Module):
+    """GroupNorm whose statistics cover only valid (unmasked) frames.
+
+    Plain GroupNorm over a padded (B, T, C) sequence folds the zeroed
+    padding into mean/variance, so a frame's activations change with the
+    bucket's padding amount — the same utterance run at a different
+    ``resp_len`` bucket would normalize differently (round-2 ADVICE).
+    Statistics here are per (batch, group) over valid frames × group
+    channels, computed in fp32; padded frames come out zero."""
+
+    num_groups: int
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, mask):
+        B, T, C = x.shape
+        G = self.num_groups
+        dt = x.dtype
+        xf = x.astype(jnp.float32)
+        m = mask.astype(jnp.float32)                      # (B, T)
+        cnt = jnp.maximum(m.sum(axis=1), 1.0) * (C // G)  # (B,) per-group N
+        xg = (xf * m[..., None]).reshape(B, T, G, C // G)
+        mean = xg.sum(axis=(1, 3)) / cnt[:, None]         # (B, G)
+        centered = (xg - mean[:, None, :, None]) * m[..., None, None]
+        var = (centered ** 2).sum(axis=(1, 3)) / cnt[:, None]
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (centered * inv[:, None, :, None]).reshape(B, T, C)
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        y = y * scale + bias
+        return (y * m[..., None]).astype(dt)
+
+
 class ConvResBlock(nn.Module):
     """GroupNorm → SiLU → Conv(k3) → FiLM(t) → GroupNorm → SiLU → Conv(k3)
     with a 1×1-conv (or identity) skip — the diffusers ResnetBlock2D recipe
-    in 1-D."""
+    in 1-D.  Norm statistics are masked to valid frames (bucket-size
+    invariant)."""
 
     ch: int
     dtype: Any = jnp.float32
@@ -41,12 +75,12 @@ class ConvResBlock(nn.Module):
     def __call__(self, x, t_emb, mask):
         m = mask[..., None].astype(x.dtype)
         groups = 8 if self.ch % 8 == 0 else 1
-        h = nn.GroupNorm(num_groups=groups, name="norm1")(x)
+        h = MaskedGroupNorm(num_groups=groups, name="norm1")(x, mask)
         h = nn.Conv(self.ch, (3,), padding="SAME", name="conv1")(nn.silu(h) * m)
         ss = nn.Dense(2 * self.ch, name="film")(nn.silu(t_emb))
         scale, shift = jnp.split(ss[:, None, :], 2, axis=-1)
         h = h * (1 + scale) + shift
-        h = nn.GroupNorm(num_groups=groups, name="norm2")(h)
+        h = MaskedGroupNorm(num_groups=groups, name="norm2")(h, mask)
         h = nn.Conv(self.ch, (3,), padding="SAME", name="conv2")(nn.silu(h) * m)
         if x.shape[-1] != self.ch:
             x = nn.Conv(self.ch, (1,), name="skip")(x)
@@ -134,7 +168,7 @@ class ConvUNetDenoiser(nn.Module):
             CrossAttnBlock(c, self.n_heads, name=f"up_attn_{i}")
             for i, c in enumerate(rev)
         ]
-        self.norm_out = nn.GroupNorm(num_groups=8 if chs[0] % 8 == 0 else 1)
+        self.norm_out = MaskedGroupNorm(num_groups=8 if chs[0] % 8 == 0 else 1)
         self.conv_out = nn.Conv(self.in_dim, (3,), padding="SAME",
                                 dtype=jnp.float32)
 
@@ -194,7 +228,7 @@ class ConvUNetDenoiser(nn.Module):
             x = res(x, t_emb, mask)
             x = attn(x, cond, mask, cond_mask)
 
-        x = nn.silu(self.norm_out(x))
+        x = nn.silu(self.norm_out(x, mask))  # mask is back at full resolution
         eps = self.conv_out(x.astype(jnp.float32))
         return eps * resp_mask[..., None]
 

@@ -319,15 +319,9 @@ class Engines(dict):
         stats: dict = {}
         for name, engine in self.items():
             self._rng, sub = jax.random.split(self._rng)
-            try:
-                engine_stats = engine.train_batch(batch, sub, sync=False)
-            except jax.errors.JaxRuntimeError as e:
-                if "RESOURCE_EXHAUSTED" in str(e) and getattr(
-                    self.cfg, "save_on_oom", True
-                ):
-                    # OOM → checkpoint everything → re-raise (``:167-178``)
-                    self.save_checkpoint()
-                raise
+            engine_stats = self._oom_guard(
+                lambda: engine.train_batch(batch, sub, sync=False)
+            )
             stats |= engine_stats
             stats[f"{name}.engine_step"] = engine.global_step
         stats["global_step"] = self.global_step
@@ -336,18 +330,39 @@ class Engines(dict):
             pending, self._pending = self._pending, (stats, time.time())
             if pending is None:
                 return {"global_step": self.global_step, "wall_time": time.time()}
-            out = _to_floats(pending[0])  # device work long since finished
+            # device work long since finished — but an async OOM from the
+            # *previous* step surfaces exactly here, so it rides the same
+            # save-on-oom guard as dispatch (ADVICE r2)
+            out = self._oom_guard(lambda: _to_floats(pending[0]))
             out["elapsed_time"] = time.time() - t0
             out["wall_time"] = pending[1]
             return out
 
-        jax.block_until_ready(
-            next(iter(self.values())).params
+        self._oom_guard(
+            lambda: jax.block_until_ready(next(iter(self.values())).params)
         )
-        out = _to_floats(stats)
+        out = self._oom_guard(lambda: _to_floats(stats))
         out["elapsed_time"] = time.time() - t0
         out["wall_time"] = time.time()
         return out
+
+    def _oom_guard(self, fn):
+        """OOM → checkpoint everything → re-raise (≡ ``engines.py:167-178``).
+
+        Wraps every point where device errors can materialize — dispatch,
+        the sync-path block, and the async-path lagged fetch — so the
+        save-on-oom guarantee holds in both stats modes."""
+        try:
+            return fn()
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" in str(e) and getattr(
+                self.cfg, "save_on_oom", True
+            ):
+                try:
+                    self.save_checkpoint()
+                except Exception:  # noqa: BLE001 — keep the original error
+                    _logger.exception("save-on-oom checkpoint failed")
+            raise
 
     def flush_stats(self) -> dict | None:
         """Drain the lagged stats slot after the final step.
@@ -358,6 +373,6 @@ class Engines(dict):
         pending, self._pending = self._pending, None
         if pending is None:
             return None
-        out = _to_floats(pending[0])
+        out = self._oom_guard(lambda: _to_floats(pending[0]))
         out["wall_time"] = pending[1]
         return out
