@@ -147,6 +147,27 @@ class Engine:
         # optimizer moments are created as zeros_like(params) and inherit
         # the param shardings.
         self.opt_state = self.tx.init(self.params)
+        # Commit every optimizer-state leaf: optax creates its step
+        # counters as *uncommitted* scalars, and orbax restores arrays onto
+        # the restore target's placement — an uncommitted scalar would come
+        # back pinned to one device next to mesh-sharded params, making the
+        # first post-restore step fail with mixed device sets (exposed by
+        # the mesh-reshape restore test).
+        from jax.sharding import NamedSharding
+
+        if self.mesh.size > 1:
+            rep_sh = replicated(self.mesh)
+            self.opt_state = jax.tree.map(
+                lambda x: x
+                if isinstance(getattr(x, "sharding", None), NamedSharding)
+                else jax.device_put(jnp.asarray(x), rep_sh),
+                self.opt_state,
+            )
+        else:
+            dev0 = self.mesh.devices.flat[0]
+            self.opt_state = jax.tree.map(
+                lambda x: jax.device_put(jnp.asarray(x), dev0), self.opt_state
+            )
         self.step = 0
 
         bsh = batch_sharding(self.mesh)
