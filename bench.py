@@ -15,6 +15,13 @@ using XLA's own FLOP count for the compiled generation program
 (``compiled.cost_analysis()``), so "fast" is judged against the hardware,
 not only against the reference's (unspecified-hardware) number.
 
+Weights: a *trained* bundle is used when one with the exact production
+architecture is available (``BENCH_BUNDLE=<dir>`` or ``zoo/diffusion``);
+otherwise random init — identical shapes and programs either way, and the
+``weights`` field discloses which ran.  Latency spread is reported as
+p10/p50/p90 over the 20 blocking calls (tunnel sessions vary ±30%;
+round-2 VERDICT weak #6).
+
 The full 99-step reverse process runs as one jit-compiled ``lax.scan`` on
 device, generating 350 level-0 tokens per utterance
 (≡ ``ar_discrete.py:699,750``).
@@ -38,6 +45,31 @@ BASELINE_TOK_PER_SEC = 211.90  # reference D3PM (README.md:27-30)
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
 
 
+def _load_trained_or_random(model, rng):
+    """Trained weights when a bundle with the *exact* production
+    architecture exists (else the timing would not be the headline
+    config); random init otherwise, disclosed via the ``weights`` field."""
+    candidates = []
+    if os.environ.get("BENCH_BUNDLE"):
+        candidates.append(os.environ["BENCH_BUNDLE"])
+    candidates += ["/root/repo/zoo/diffusion", "zoo/diffusion"]
+    for cand in candidates:
+        try:
+            from tts_with_diffusion_model_tpu.__main__ import build_model
+            from tts_with_diffusion_model_tpu.export import load_bundle
+
+            params, meta, _, _ = load_bundle(cand)
+            loaded = build_model(meta)
+            if (
+                type(loaded) is type(model)
+                and loaded.config == model.config
+            ):
+                return params, f"trained:{cand}"
+        except Exception:
+            continue
+    return model.init(rng), "random"
+
+
 def main():
     try:  # persistent compile cache: repeat runs skip the first-compile cost
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -51,7 +83,8 @@ def main():
     model = get_model("diffusion")
     c = model.config
     rng = jax.random.PRNGKey(0)
-    params = cast_params_bf16(model.init(rng))  # serving precision
+    params, weights_src = _load_trained_or_random(model, rng)
+    params = cast_params_bf16(params)  # serving precision
 
     B = 1
     text = jnp.zeros((B, c.text_len), jnp.int32).at[:, :20].set(5)
@@ -75,14 +108,17 @@ def main():
     except Exception:
         pass
 
-    # Per-call p50 latency: block on every call (what one user waits).
+    # Per-call latency: block on every call (what one user waits).
+    # p10/p50/p90 spread so session-to-session variance is visible.
     lat = []
     for i in range(20):
         t0 = time.perf_counter()
         gen(params, jax.random.PRNGKey(100 + i)).block_until_ready()
         lat.append(time.perf_counter() - t0)
     lat.sort()
+    p10 = lat[max(0, len(lat) // 10 - 0)]
     p50 = lat[len(lat) // 2]
+    p90 = lat[min(len(lat) - 1, (len(lat) * 9) // 10)]
     p50_tok_per_sec = c.gen_len / p50
 
     # Steady-state pipelined throughput: N launches, one sync.
@@ -102,9 +138,12 @@ def main():
                 "unit": "codec tokens/sec/chip",
                 "vs_baseline": round(p50_tok_per_sec / BASELINE_TOK_PER_SEC, 3),
                 "p50_ms": round(p50 * 1e3, 2),
+                "p10_ms": round(p10 * 1e3, 2),
+                "p90_ms": round(p90 * 1e3, 2),
                 "throughput_tokens_per_sec": round(pipelined, 2),
                 "flops_per_generation": flops,
                 "mfu": round(mfu, 4) if mfu is not None else None,
+                "weights": weights_src,
             }
         )
     )

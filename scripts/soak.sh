@@ -1,0 +1,140 @@
+#!/bin/bash
+# On-chip soak test: train the PRODUCTION-SIZE D3PM, SIGKILL it mid-run,
+# relaunch through the crash-loop wrapper (scripts/run.sh), and assert the
+# full fault-tolerance story end-to-end:
+#
+#   1. global_step resumes from the last checkpoint (not 0);
+#   2. loss keeps decreasing across the kill;
+#   3. the eval loop runs and logs eval losses;
+#   4. the exported bundle passes the level-0 token quality gate.
+#
+# This is the operating model the reference ships (crash-loop run.sh +
+# unconditional checkpoint resume, /root/reference/scripts/run.sh:3 +
+# vall_e/utils/trainer.py:60-64), exercised here as one scripted check.
+#
+# Usage: bash scripts/soak.sh [workdir]
+# Env:   SOAK_MAX_ITER (default 3000), SOAK_KILL_AFTER (seconds, default 240),
+#        SOAK_BATCH (default 16), SOAK_MIN_ACC (default 0.7)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+WORK=${1:-/tmp/tts_soak}
+PKG=tts_with_diffusion_model_tpu
+MAX_ITER=${SOAK_MAX_ITER:-3000}
+KILL_AFTER=${SOAK_KILL_AFTER:-240}
+BATCH=${SOAK_BATCH:-16}
+MIN_ACC=${SOAK_MIN_ACC:-0.7}
+
+rm -rf "$WORK"
+mkdir -p "$WORK/data/overfit/spk1"
+
+# ---- toy overfit corpus (2 utterances, 1 speaker — the diffusion analogue
+# of the reference's one-sample overfit convention, nar.py:149-165) ----
+python - "$WORK" << 'EOF'
+import sys, wave
+import numpy as np
+from pathlib import Path
+root = Path(sys.argv[1]) / "data/overfit/spk1"
+sr = 24_000
+for i, (f, text) in enumerate([(180, "hello there"), (240, "make some noise")]):
+    t = np.linspace(0, 1.0, sr, endpoint=False)
+    wav = (0.4 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+    with wave.open(str(root / f"utt{i}.wav"), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+        w.writeframes((wav * 32767).astype("<i2").tobytes())
+    (root / f"utt{i}.normalized.txt").write_text(text)
+EOF
+
+python -m $PKG.emb.g2p "$WORK/data/overfit"
+python -m $PKG.emb.qnt "$WORK/data/overfit"
+
+# ---- production-size D3PM config (NO model_overrides: registry defaults —
+# d_model 512, 8 DiT layers, T=100, buckets 448/398/50) ----
+cat > "$WORK/soak.yml" << EOF
+data_dirs: [$WORK/data/overfit]
+spkr_name_getter: "parts:-2"
+model: diffusion
+batch_size: $BATCH
+max_iter: $MAX_ITER
+eval_every: 1000
+save_ckpt_every: 200
+warmup_max_lr: 5.0e-4
+warmup_num_steps: 100
+min_phones: 3
+mesh_tp: 1
+log_root: $WORK/logs
+ckpt_root: $WORK/ckpts
+EOF
+
+LOG_DIR="$WORK/logs/tts_soak/soak"
+
+# ---- phase 1: train, then SIGKILL mid-run (no pattern kills: exact PID) ----
+echo "soak: phase 1 — launching training, SIGKILL in ${KILL_AFTER}s"
+python -m $PKG.train "yaml=$WORK/soak.yml" < /dev/null > "$WORK/phase1.out" 2>&1 &
+TRAIN_PID=$!
+sleep "$KILL_AFTER"
+kill -9 "$TRAIN_PID" 2>/dev/null || {
+    echo "soak: FAIL — training exited before the kill (too-short run?)"
+    tail -20 "$WORK/phase1.out"; exit 1;
+}
+wait "$TRAIN_PID" 2>/dev/null || true
+echo "soak: killed training at PID $TRAIN_PID"
+
+STEPS_BEFORE=$(grep -c '"global_step"' "$LOG_DIR/log.txt" || true)
+if [ "${STEPS_BEFORE:-0}" -lt 10 ]; then
+    echo "soak: FAIL — fewer than 10 steps before the kill ($STEPS_BEFORE)"
+    tail -20 "$WORK/phase1.out"; exit 1
+fi
+
+# ---- phase 2: crash-loop relaunch; run.sh retries until clean exit ----
+echo "soak: phase 2 — relaunching via run.sh until max_iter ($MAX_ITER)"
+timeout 7200 bash scripts/run.sh \
+    python -m $PKG.train "yaml=$WORK/soak.yml" < /dev/null \
+    > "$WORK/phase2.out" 2>&1
+
+# ---- assertions over the (rank-stamped, JSON-lines) training log ----
+python - "$LOG_DIR/log.txt" "$MAX_ITER" << 'EOF'
+import json, re, sys
+log_path, max_iter = sys.argv[1], int(sys.argv[2])
+rows, restored, n_evals = [], [], 0
+for line in open(log_path):
+    if "Restored checkpoint" in line:
+        m = re.search(r"step (\d+)", line)
+        if m:
+            restored.append(int(m.group(1)))
+    if "Eval: " in line:
+        n_evals += 1
+        continue
+    m = re.search(r"(\{.*\})\s*$", line)
+    if m:
+        try:
+            row = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            continue
+        if "global_step" in row:
+            rows.append(row)
+
+assert restored and max(restored) > 0, (
+    f"no non-zero checkpoint restore logged (restores: {restored}) — "
+    "phase 2 did not resume")
+steps = [r["global_step"] for r in rows]
+assert max(steps) >= max_iter, f"did not reach max_iter: {max(steps)}"
+losses = [r["nll"] for r in rows if "nll" in r]
+head = sum(losses[:50]) / len(losses[:50])
+tail = sum(losses[-50:]) / len(losses[-50:])
+assert tail < head, f"loss did not decrease across the soak: {head} -> {tail}"
+assert n_evals > 0, "no eval stats logged"
+print(json.dumps({
+    "soak_steps": int(max(steps)),
+    "resumed_from": max(restored),
+    "loss_first50": round(head, 4),
+    "loss_last50": round(tail, 4),
+    "n_evals": n_evals,
+}))
+EOF
+
+# ---- export + quality gate ----
+python -m $PKG.export "$WORK/zoo/diff" "yaml=$WORK/soak.yml"
+python scripts/quality_gate.py "$WORK/zoo/diff" \
+    "$WORK/data/overfit/spk1/utt0.wav" 'hello there' --min-acc "$MIN_ACC"
+
+echo "soak complete: killed at ~${KILL_AFTER}s, resumed, reached $MAX_ITER steps, quality gate passed"

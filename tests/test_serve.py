@@ -290,3 +290,45 @@ def test_request_codes_cohort_independent_max_batch8(zoo):
     # and seeds still matter: same request, different seed → different codes
     other = synth.synthesize_codes_batch([rows[3]], [seeds[3] + 1])[0]
     assert not np.array_equal(other, alone[3])
+
+
+def test_diffusion_chunked_batch_matches_solo(zoo, tmp_path_factory):
+    """Device batches past GEN_CHUNK run as sequential sub-batches inside
+    one program (the VMEM-spill fix for the B>=16 regression).  Per-row
+    keys make the chunked cohort output bit-identical to each request
+    running alone."""
+    from tts_with_diffusion_model_tpu.export import save_bundle
+    from tts_with_diffusion_model_tpu.models.diffusion import (
+        DiffusionConfig,
+        DiffusionModel,
+    )
+    from tts_with_diffusion_model_tpu.serve import Synthesizer
+
+    root = tmp_path_factory.mktemp("serve_zoo_diff")
+    phone_symmap = {p: i for i, p in enumerate(
+        ["<s>", "</s>", "_", "M", "EY1", "K", "S", "AH1", "N", "OY1", "Z",
+         "T", "EH1", "W", "AO1", "R", "HH", "IY1", "UW1", "AY1", "D"], 1)}
+    dcfg = DiffusionConfig(n_classes=V + 1, d_model=16, n_heads=2,
+                           n_layers=1, timesteps=4, resp_len=12,
+                           text_len=16, prom_len=10, gen_len=8)
+    dm = DiffusionModel(dcfg, dtype=jnp.float32)
+    d_params = dm.init(jax.random.PRNGKey(0))
+    save_bundle(root / "diffusion", d_params,
+                {"model": "diffusion", "num_tokens": V, "d_model": 16,
+                 "n_heads": 2, "n_layers": 1, "timesteps": 4,
+                 "resp_len": 12, "text_len": 16, "prom_len": 10,
+                 "gen_len": 8}, phone_symmap, {"ref": 0})
+
+    synth = Synthesizer(
+        root / "diffusion", zoo / "nar", bf16=False, max_batch=16,
+    )
+    assert synth.max_batch > synth.GEN_CHUNK  # chunked path engages
+
+    texts = ["make some noise", "one two", "say it", "more noise"] * 4
+    seeds = list(range(100, 116))
+    rows = [synth._prepare(t, zoo / "ref.wav") for t in texts]
+
+    together = synth.synthesize_codes_batch(rows, seeds)
+    for i in (0, 7, 8, 15):  # rows straddling both chunks
+        solo = synth.synthesize_codes_batch([rows[i]], [seeds[i]])[0]
+        np.testing.assert_array_equal(together[i], solo)

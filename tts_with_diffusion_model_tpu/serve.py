@@ -53,6 +53,12 @@ _logger = logging.getLogger(__name__)
 class Synthesizer:
     """text + reference wav → wav, with compile-once fixed buckets."""
 
+    #: diffusion generation sub-batch size: the largest batch whose 99-step
+    #: scan working set stays VMEM-resident on a v5e (measured crossover —
+    #: see docs/serving.md capacity table); bigger device batches run as
+    #: sequential chunks of this size inside one compiled program.
+    GEN_CHUNK = 8
+
     def __init__(
         self,
         ar_ckpt: str | Path,
@@ -102,11 +108,35 @@ class Synthesizer:
             # posterior): ~stride× fewer denoiser steps per utterance, a
             # measured ~3× latency cut at stride=3 (PARITY.md) for a
             # quality trade the operator opts into.
-            self._first_gen = jax.jit(
-                lambda p, t, tm, pr, pm, r: self.first.generate(
-                    p, t, tm, pr, pm, r, stride=max(1, int(stride))
-                )
-            )
+            stride_v = max(1, int(stride))
+
+            def first_gen(p, t, tm, pr, pm, r):
+                # Device batches past GEN_CHUNK run as sequential
+                # GEN_CHUNK-sized sub-batches inside one program
+                # (lax.map): past B=8 the 99-step scan's per-block K/V and
+                # attention working set exceeds VMEM and spills to HBM
+                # every step — measured B=16 monolithic 4384 tok/s/chip vs
+                # 7837 chunked (docs/serving.md).  Per-row PRNG keys make
+                # chunked and monolithic outputs identical.
+                B = t.shape[0]  # static under jit: one trace per bucket
+                if B > self.GEN_CHUNK and B % self.GEN_CHUNK == 0:
+                    n = B // self.GEN_CHUNK
+                    ck = lambda a: a.reshape(n, self.GEN_CHUNK, *a.shape[1:])
+
+                    def one(xs):
+                        t_, m1, pr_, m2, r_ = xs
+                        return self.first.generate(
+                            p, t_, m1, pr_, m2, r_, stride=stride_v
+                        )
+
+                    out = jax.lax.map(
+                        one, (ck(t), ck(tm), ck(pr), ck(pm), ck(r))
+                    )
+                    return out.reshape(B, *out.shape[2:])
+                return self.first.generate(p, t, tm, pr, pm, r,
+                                           stride=stride_v)
+
+            self._first_gen = jax.jit(first_gen)
 
     # ---------------- request path ----------------
 
