@@ -92,7 +92,14 @@ def main():
     proms = jnp.zeros((B, c.prom_len, c.n_prom_levels), jnp.int32)
     pm = (jnp.arange(c.prom_len)[None] < 225).astype(jnp.float32)
 
-    gen = jax.jit(lambda p, r: model.generate(p, text, tm, proms, pm, r))
+    # Serving configuration: tight 128-multiple generation bucket (384 for
+    # gen_len 350 vs the model's 448) — bit-identical valid tokens, less
+    # O(T^2) attention work per step (models/diffusion.py generate).
+    bucket = min(c.resp_len, -(-c.gen_len // 128) * 128)
+    gen = jax.jit(
+        lambda p, r: model.generate(p, text, tm, proms, pm, r,
+                                    resp_bucket=bucket)
+    )
 
     # warmup/compile
     out = gen(params, rng)

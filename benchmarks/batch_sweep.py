@@ -60,6 +60,9 @@ def main():
                     choices=["baseline", "chunked"])
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--bucket", type=int, default=0,
+                    help="generation resp bucket (0 = the model's resp_len; "
+                         "serving uses the tight 128-multiple of gen_len)")
     args = ap.parse_args()
 
     try:
@@ -74,6 +77,7 @@ def main():
     model = get_model("diffusion")
     c = model.config
     params = cast_params_bf16(model.init(jax.random.PRNGKey(0)))
+    bucket = args.bucket or None
 
     for B in [int(x) for x in args.batches.split(",")]:
         text, tm, proms, pm = build_inputs(c, B)
@@ -94,7 +98,8 @@ def main():
                 def one(xs):
                     t, m1, pr, m2, k = xs
                     return model.generate(p, t, m1, pr, m2, k,
-                                          stride=args.stride)
+                                          stride=args.stride,
+                                          resp_bucket=bucket)
 
                 out = jax.lax.map(
                     one, (ck(text), ck(tm), ck(proms), ck(pm), keys)
@@ -106,7 +111,7 @@ def main():
             gen = jax.jit(
                 lambda p, r, text=text, tm=tm, proms=proms, pm=pm:
                 model.generate(p, text, tm, proms, pm, r,
-                               stride=args.stride)
+                               stride=args.stride, resp_bucket=bucket)
             )
 
         lowered = gen.lower(params, jax.random.PRNGKey(0))

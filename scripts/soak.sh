@@ -67,23 +67,39 @@ EOF
 
 LOG_DIR="$WORK/logs/tts_soak/soak"
 
-# ---- phase 1: train, then SIGKILL mid-run (no pattern kills: exact PID) ----
-echo "soak: phase 1 — launching training, SIGKILL in ${KILL_AFTER}s"
+# ---- phase 1: train, then SIGKILL mid-run (no pattern kills: exact PID).
+# The kill fires once real progress exists: after the first checkpoint
+# cadence has passed (>= 2*save_ckpt_every steps logged) plus KILL_AFTER
+# more seconds of training — robust to multi-minute first compiles. ----
+echo "soak: phase 1 — launching training (SIGKILL after checkpointed progress + ${KILL_AFTER}s)"
 python -m $PKG.train "yaml=$WORK/soak.yml" < /dev/null > "$WORK/phase1.out" 2>&1 &
 TRAIN_PID=$!
+DEADLINE=$(( $(date +%s) + 3600 ))
+while :; do
+    if ! kill -0 "$TRAIN_PID" 2>/dev/null; then
+        echo "soak: FAIL — training exited before the kill"
+        tail -20 "$WORK/phase1.out"; exit 1
+    fi
+    # each launch logs under a fresh timestamped subdir — aggregate them
+    STEPS=$(cat "$LOG_DIR"/*/log.txt 2>/dev/null | grep -c '"global_step"' || true)
+    if [ "${STEPS:-0}" -ge 450 ]; then
+        break
+    fi
+    if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+        echo "soak: FAIL — no checkpointed progress within 1h"
+        kill -9 "$TRAIN_PID" 2>/dev/null || true
+        tail -20 "$WORK/phase1.out"; exit 1
+    fi
+    sleep 10
+done
 sleep "$KILL_AFTER"
 kill -9 "$TRAIN_PID" 2>/dev/null || {
     echo "soak: FAIL — training exited before the kill (too-short run?)"
     tail -20 "$WORK/phase1.out"; exit 1;
 }
 wait "$TRAIN_PID" 2>/dev/null || true
-echo "soak: killed training at PID $TRAIN_PID"
-
-STEPS_BEFORE=$(grep -c '"global_step"' "$LOG_DIR/log.txt" || true)
-if [ "${STEPS_BEFORE:-0}" -lt 10 ]; then
-    echo "soak: FAIL — fewer than 10 steps before the kill ($STEPS_BEFORE)"
-    tail -20 "$WORK/phase1.out"; exit 1
-fi
+STEPS_BEFORE=$(cat "$LOG_DIR"/*/log.txt 2>/dev/null | grep -c '"global_step"' || true)
+echo "soak: killed training at PID $TRAIN_PID after $STEPS_BEFORE logged steps"
 
 # ---- phase 2: crash-loop relaunch; run.sh retries until clean exit ----
 echo "soak: phase 2 — relaunching via run.sh until max_iter ($MAX_ITER)"
@@ -91,12 +107,22 @@ timeout 7200 bash scripts/run.sh \
     python -m $PKG.train "yaml=$WORK/soak.yml" < /dev/null \
     > "$WORK/phase2.out" 2>&1
 
-# ---- assertions over the (rank-stamped, JSON-lines) training log ----
-python - "$LOG_DIR/log.txt" "$MAX_ITER" << 'EOF'
-import json, re, sys
-log_path, max_iter = sys.argv[1], int(sys.argv[2])
+# ---- assertions over the (rank-stamped, JSON-lines) training logs:
+# one timestamped log dir per launch, concatenated in launch order ----
+python - "$LOG_DIR" "$MAX_ITER" << 'EOF'
+import glob, json, re, sys
+log_dir, max_iter = sys.argv[1], int(sys.argv[2])
+paths = sorted(glob.glob(f"{log_dir}/*/log.txt"))
+assert len(paths) >= 2, f"expected >=2 launch logs (kill + resume): {paths}"
+
+
+def lines():
+    for p in paths:
+        yield from open(p)
+
+
 rows, restored, n_evals = [], [], 0
-for line in open(log_path):
+for line in lines():
     if "Restored checkpoint" in line:
         m = re.search(r"step (\d+)", line)
         if m:

@@ -389,3 +389,41 @@ def test_diffusion_generate_cohort_independent():
         model.generate(params, text, tm, proms, pm, jax.random.PRNGKey(5))
     )
     assert single.shape == batched.shape
+
+
+def test_generate_tight_bucket_bit_identical():
+    """resp_bucket: a tighter generation bucket (serving uses the smallest
+    128-multiple covering gen_len) must produce bit-identical tokens at the
+    valid positions — pads are excluded from every attention/norm and the
+    per-row noise draws are row-major prefix-stable."""
+    import jax
+
+    from tts_with_diffusion_model_tpu.models.diffusion import (
+        DiffusionConfig,
+        DiffusionModel,
+    )
+    from tts_with_diffusion_model_tpu.utils.rng import row_keys_from_seeds
+
+    cfg = DiffusionConfig(
+        n_classes=33, d_model=16, n_heads=2, n_layers=1, timesteps=6,
+        resp_len=16, text_len=4, prom_len=5, gen_len=10,
+    )
+    model = DiffusionModel(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    B = 2
+    text = jnp.asarray(rng.integers(1, 33, (B, 4)), jnp.int32)
+    tm = jnp.ones((B, 4), jnp.float32)
+    proms = jnp.asarray(rng.integers(0, 33, (B, 5, 8)), jnp.int32)
+    pm = jnp.ones((B, 5), jnp.float32)
+    keys = row_keys_from_seeds([7, 9])
+
+    full = np.asarray(model.generate(params, text, tm, proms, pm, keys))
+    tight = np.asarray(model.generate(params, text, tm, proms, pm, keys,
+                                      resp_bucket=12))
+    assert full.shape == (B, 16) and tight.shape == (B, 12)
+    np.testing.assert_array_equal(tight[:, :10], full[:, :10])
+    assert int(tight[:, 10:].sum()) == 0
+
+    with pytest.raises(ValueError, match="resp_bucket"):
+        model.generate(params, text, tm, proms, pm, keys, resp_bucket=8)

@@ -332,3 +332,23 @@ def test_diffusion_chunked_batch_matches_solo(zoo, tmp_path_factory):
     for i in (0, 7, 8, 15):  # rows straddling both chunks
         solo = synth.synthesize_codes_batch([rows[i]], [seeds[i]])[0]
         np.testing.assert_array_equal(together[i], solo)
+
+
+def test_prom_bucket_tightening_output_invariant(zoo):
+    """Per-cohort prompt buckets: the device batch runs at the smallest
+    128-multiple covering its longest prompt.  Pads are masked out of every
+    attention and positions are packed (cumsum of mask), so codes are
+    bit-identical at any bucket — verified by forcing the full bucket."""
+    from tts_with_diffusion_model_tpu.serve import Synthesizer
+
+    synth = Synthesizer(
+        zoo / "ar", zoo / "nar",
+        text_len=24, prom_len=300, max_ar_steps=8, bf16=False,
+    )
+    row = synth._prepare("make some noise", zoo / "ref.wav")
+    assert row["prom_n"] < synth.PROM_BUCKET  # short prompt → tight bucket
+    tight = synth.synthesize_codes_batch([row], [5])[0]
+    full = synth.synthesize_codes_batch(
+        [dict(row, prom_n=synth.prom_len)], [5]
+    )[0]
+    np.testing.assert_array_equal(tight, full)

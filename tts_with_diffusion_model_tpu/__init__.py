@@ -10,4 +10,26 @@ discrete-diffusion generator with a DiT denoiser.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compile cache for every entry point (TPU compiles take
+# minutes through this environment's tunnel; repeat launches — the
+# crash-loop wrapper, soak phase 2, preprocessing CLIs — should pay them
+# once).  Opt out with TTS_TPU_NO_COMPILE_CACHE=1 or override the
+# directory with JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("TTS_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
+            ),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:  # pragma: no cover — cache is best-effort
+        pass
+
 from .models import get_model  # noqa: F401

@@ -44,6 +44,8 @@ def first_stage_generate(meta, model, params, phn_ids, proms, rng, args):
         out = model.generate(
             params, jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
             jnp.asarray(pm), rng, stride=max(1, args.stride),
+            # tight bucket: bit-identical valid tokens, less O(T^2) work
+            resp_bucket=min(c.resp_len, -(-c.gen_len // 128) * 128),
         )
         # first gen_len positions are the generated utterance; the rest are
         # padding (0 is a *valid* codec token, so slice — don't filter).

@@ -189,6 +189,7 @@ class DiffusionModel:
         rng: jax.Array,
         gen_len: int | None = None,
         stride: int = 1,
+        resp_bucket: int | None = None,
     ):
         """Reverse D3PM as one ``lax.scan`` (≡ ``generate_audio``, ``:696-780``).
 
@@ -201,15 +202,27 @@ class DiffusionModel:
         is drawn per row, so a row's tokens depend only on its own key —
         batched serving stays per-request reproducible (``utils/rng.py``).
 
-        Returns (B, resp_len) int tokens; positions ≥ gen_len are 0.
+        ``resp_bucket`` overrides the sequence bucket (default
+        ``config.resp_len``): padding past ``gen_len`` is masked out of
+        every attention and norm, and per-row noise draws are row-major
+        prefix-stable, so a tighter bucket (e.g. 384 for the default
+        gen_len 350) produces **bit-identical tokens** at the valid
+        positions while cutting the dominant O(T²) self-attention cost —
+        the reference pads everything to 448 unconditionally
+        (``ar_discrete.py:592-626``).
+
+        Returns (B, resp_bucket) int tokens; positions ≥ gen_len are 0.
         """
         c = self.config
         B = text.shape[0]
         gl = gen_len if gen_len is not None else c.gen_len
+        bucket = resp_bucket if resp_bucket is not None else c.resp_len
+        if bucket < gl:
+            raise ValueError(f"resp_bucket {bucket} < gen_len {gl}")
         # mask: first gen_len slots live, rest padding (≡ ``:699-709``)
-        rm = (jnp.arange(c.resp_len)[None, :] < gl).astype(jnp.float32)
-        rm = jnp.broadcast_to(rm, (B, c.resp_len))
-        x = jnp.full((B, c.resp_len), self.d3pm.absorbing_state, jnp.int32)
+        rm = (jnp.arange(bucket)[None, :] < gl).astype(jnp.float32)
+        rm = jnp.broadcast_to(rm, (B, bucket))
+        x = jnp.full((B, bucket), self.d3pm.absorbing_state, jnp.int32)
         x = (x * rm).astype(jnp.int32)
 
         text_cond, spkr_cond = self.denoiser.apply(

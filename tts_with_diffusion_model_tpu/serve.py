@@ -109,6 +109,11 @@ class Synthesizer:
             # measured ~3× latency cut at stride=3 (PARITY.md) for a
             # quality trade the operator opts into.
             stride_v = max(1, int(stride))
+            # Tight generation bucket: smallest 128-multiple covering
+            # gen_len (384 vs the model's 448 at the reference config) —
+            # bit-identical valid tokens, ~25% less self-attention score
+            # work per step (model.generate docstring).
+            bucket_v = min(c.resp_len, -(-c.gen_len // 128) * 128)
 
             def first_gen(p, t, tm, pr, pm, r):
                 # Device batches past GEN_CHUNK run as sequential
@@ -126,7 +131,8 @@ class Synthesizer:
                     def one(xs):
                         t_, m1, pr_, m2, r_ = xs
                         return self.first.generate(
-                            p, t_, m1, pr_, m2, r_, stride=stride_v
+                            p, t_, m1, pr_, m2, r_, stride=stride_v,
+                            resp_bucket=bucket_v,
                         )
 
                     out = jax.lax.map(
@@ -134,7 +140,8 @@ class Synthesizer:
                     )
                     return out.reshape(B, *out.shape[2:])
                 return self.first.generate(p, t, tm, pr, pm, r,
-                                           stride=stride_v)
+                                           stride=stride_v,
+                                           resp_bucket=bucket_v)
 
             self._first_gen = jax.jit(first_gen)
 
@@ -147,6 +154,10 @@ class Synthesizer:
         out[0, :n] = arr[:n]
         mask[0, :n] = 1
         return out, mask
+
+    #: prompt-length buckets are 128-frame multiples (TPU lane tiling);
+    #: a cohort runs at the smallest bucket covering its longest prompt.
+    PROM_BUCKET = 128
 
     def phones_and_ids(self, text: str) -> tuple[list[str], list[int]]:
         """g2p + symmap mapping, computed once per request (the phone list
@@ -170,10 +181,15 @@ class Synthesizer:
         return qnt.encode_from_file(reference).T.astype(np.int32)
 
     def _prepare_ids(self, ids: list[int], proms: np.ndarray) -> dict:
-        """Bucket-pad phone ids + (t, 8) prompt codes into one request row."""
+        """Bucket-pad phone ids + (t, 8) prompt codes into one request row.
+
+        ``prom_n`` records the prompt's true length so the device batch can
+        run at the smallest prompt bucket covering its cohort (pads are
+        masked out of attention, so tokens are identical at any bucket)."""
         text_a, text_m = self._pad(np.asarray(ids, np.int32), self.text_len)
         prom_a, prom_m = self._pad(proms, self.prom_len, (8,))
-        return dict(text=text_a, text_mask=text_m, proms=prom_a, prom_mask=prom_m)
+        return dict(text=text_a, text_mask=text_m, proms=prom_a,
+                    prom_mask=prom_m, prom_n=min(len(proms), self.prom_len))
 
     def _prepare(self, text: str, reference: str | Path) -> dict:
         """Host-side request prep: g2p + codec-encode + bucket padding."""
@@ -213,6 +229,15 @@ class Synthesizer:
 
         text_a, text_m = stack("text"), stack("text_mask")
         prom_a, prom_m = stack("proms"), stack("prom_mask")
+        # Tight prompt bucket for this cohort: the speaker cross-attention
+        # (the second-largest attention cost) scales with prompt length,
+        # and masked pads contribute nothing — so slice, don't carry, the
+        # unused prompt tail.  Compile-once still holds: at most
+        # prom_len/PROM_BUCKET distinct programs per batch bucket.
+        pn = max(int(r.get("prom_n", self.prom_len)) for r in rows)
+        pb = min(self.prom_len,
+                 max(1, -(-pn // self.PROM_BUCKET)) * self.PROM_BUCKET)
+        prom_a, prom_m = prom_a[:, :pb], prom_m[:, :pb]
         row_keys = row_keys_from_seeds(row_seeds)
         r1 = fold_rows(row_keys, 0)  # first stage (AR / diffusion)
         r2 = fold_rows(row_keys, 1)  # NAR stage
