@@ -111,6 +111,15 @@ def test_http_api(zoo, synth):
         r = conn.getresponse()
         assert r.status == 500
         assert "error" in json.loads(r.read())
+
+        # observability: /stats reflects the traffic above
+        conn.request("GET", "/stats")
+        r = conn.getresponse()
+        assert r.status == 200
+        snap = json.loads(r.read())
+        assert snap["requests"] == 2 and snap["errors"] == 1
+        assert snap["latency_ms"]["p50"] is not None
+        assert snap["uptime_s"] >= 0
     finally:
         server.shutdown()
 

@@ -14,6 +14,9 @@ provides:
     ms of queueing for real throughput;
   - a stdlib-only threaded HTTP API:
         GET  /healthz                         → {"status": "ok"}
+        GET  /stats                           → serving counters + latency
+             percentiles (p50/p90/p99 ms over a sliding window), batch
+             occupancy, error count, uptime
         POST /tts  {"text": ..., "reference": <wav path>, "seed": 0}
                                                → audio/wav bytes
         POST /tts_stream  (same body)          → chunked audio/L16 PCM,
@@ -403,6 +406,7 @@ class Batcher:
         self.synth = synth
         self.window_s = window_ms / 1e3
         self.q: queue.Queue = queue.Queue()
+        self.stats: "ServerStats | None" = None  # set by make_server
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -450,6 +454,8 @@ class Batcher:
                     batch.append(self.q.get(timeout=remain))
                 except queue.Empty:
                     break
+            if self.stats is not None:
+                self.stats.record_batch(len(batch))
             try:
                 codes = self.synth.synthesize_codes_batch(
                     [b["row"] for b in batch], [b["seed"] for b in batch]
@@ -461,6 +467,66 @@ class Batcher:
                     b["error"] = e
             for b in batch:
                 b["event"].set()
+
+
+class ServerStats:
+    """Thread-safe serving counters + sliding-window latency percentiles.
+
+    The reference has no serving story at all; production operation needs
+    at least: are requests completing, how fast, how full are the device
+    batches, and are errors accumulating.  Kept stdlib-only like the rest
+    of the server.
+    """
+
+    WINDOW = 512  # latency samples kept for percentile estimates
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._t0 = time.time()
+        self.requests = 0
+        self.errors = 0
+        self.streams = 0
+        self.batches = 0
+        self.batched_rows = 0
+        self._lat_ms: list[float] = []
+
+    def record(self, seconds: float, *, error: bool = False,
+               stream: bool = False):
+        with self._lock:
+            self.requests += 1
+            if error:
+                self.errors += 1
+            if stream:
+                self.streams += 1
+            self._lat_ms.append(seconds * 1e3)
+            if len(self._lat_ms) > self.WINDOW:
+                del self._lat_ms[: -self.WINDOW]
+
+    def record_batch(self, n_rows: int):
+        with self._lock:
+            self.batches += 1
+            self.batched_rows += n_rows
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat_ms)
+            pct = (
+                lambda q: round(lat[min(len(lat) - 1, int(q * len(lat)))], 1)
+                if lat else None
+            )
+            return {
+                "uptime_s": round(time.time() - self._t0, 1),
+                "requests": self.requests,
+                "errors": self.errors,
+                "streams": self.streams,
+                "latency_ms": {"p50": pct(0.5), "p90": pct(0.9),
+                               "p99": pct(0.99), "n": len(lat)},
+                "batches": self.batches,
+                "mean_batch_occupancy": (
+                    round(self.batched_rows / self.batches, 2)
+                    if self.batches else None
+                ),
+            }
 
 
 def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
@@ -482,6 +548,9 @@ def make_server(
 ):
     submit = batcher.submit if batcher is not None else synth.synthesize
     submit_row = batcher.submit_row if batcher is not None else None
+    stats = ServerStats()
+    if batcher is not None:
+        batcher.stats = stats
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 is required for Transfer-Encoding: chunked on
@@ -496,13 +565,16 @@ def make_server(
         def do_GET(self):
             if self.path == "/healthz":
                 body = json.dumps({"status": "ok"}).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+            elif self.path == "/stats":
+                body = json.dumps(stats.snapshot()).encode()
             else:
                 self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_POST(self):
             if self.path == "/tts_stream":
@@ -511,6 +583,7 @@ def make_server(
             if self.path != "/tts":
                 self.send_error(404)
                 return
+            t0 = time.monotonic()
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
@@ -518,6 +591,7 @@ def make_server(
                     req["text"], req["reference"], int(req.get("seed", 0))
                 )
                 body = wav_bytes(wav, sr)
+                stats.record(time.monotonic() - t0)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(body)))
@@ -525,6 +599,7 @@ def make_server(
                 self.wfile.write(body)
             except Exception as e:  # noqa: BLE001
                 _logger.exception("tts request failed")
+                stats.record(time.monotonic() - t0, error=True)
                 body = json.dumps({"error": str(e)}).encode()
                 self.send_response(500)
                 self.send_header("Content-Type", "application/json")
@@ -538,6 +613,7 @@ def make_server(
             from N× to 1× the single-utterance latency."""
             import itertools
 
+            t0 = time.monotonic()
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
@@ -546,8 +622,10 @@ def make_server(
                     submit_row=submit_row,
                 )
                 first = next(gen)  # synthesize before headers → errors → 500
+                stats.record(time.monotonic() - t0, stream=True)
             except Exception as e:  # noqa: BLE001
                 _logger.exception("tts_stream request failed")
+                stats.record(time.monotonic() - t0, error=True, stream=True)
                 body = json.dumps({"error": str(e)}).encode()
                 self.send_response(500)
                 self.send_header("Content-Type", "application/json")
