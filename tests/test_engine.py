@@ -292,3 +292,31 @@ def test_checkpoint_restore_across_mesh_reshape(tmp_path):
     assert back.load_checkpoint()
     assert back.step == 3
     assert_tree_equal(host(back.params), host(dst.params))
+
+
+def test_resume_skips_incomplete_checkpoint(tmp_path):
+    """A SIGKILL mid-save leaves an *.orbax-checkpoint-tmp directory;
+    resume must clean it and restore the newest COMPLETE checkpoint
+    instead of crash-looping (found by scripts/soak.sh on-chip: orbax
+    raises 'Found incomplete checkpoint' if the tmp dir is picked)."""
+    _, params, loss_fn, batch = make_tiny()
+    eng = Engine("model", params, loss_fn, OPT_CFG, tmp_path,
+                 mesh=build_mesh(1, 1, jax.devices()[:1]))
+    eng.train_batch(batch, jax.random.PRNGKey(0))
+    eng.save_checkpoint()
+
+    # fabricate the aftermath of a kill during the step-2 save
+    stale = tmp_path / "model" / "step_00000002.orbax-checkpoint-tmp"
+    stale.mkdir()
+    (stale / "partial").write_text("killed mid-write")
+
+    eng2 = Engine("model", params, loss_fn, OPT_CFG, tmp_path,
+                  mesh=build_mesh(1, 1, jax.devices()[:1]))
+    assert eng2.load_checkpoint()
+    assert eng2.step == 1          # the complete step-1 checkpoint
+    assert not stale.exists()      # stale tmp removed
+    # retention with a tmp present never counts it as a kept checkpoint
+    eng2.train_batch(batch, jax.random.PRNGKey(1))
+    eng2.save_checkpoint(keep=1)
+    names = sorted(p.name for p in (tmp_path / "model").iterdir())
+    assert names == ["step_00000002"]

@@ -263,21 +263,39 @@ class Engine:
                 force=True,
             )
         _logger.info(f"Saved checkpoint {path}")
-        # retention: keep the newest ``keep`` step dirs
+        # retention: keep the newest ``keep`` complete step dirs (in-flight
+        # ``*.orbax-checkpoint-tmp`` dirs are not checkpoints)
         steps = sorted(
-            p for p in self._ckpt_dir().iterdir() if p.name.startswith("step_")
+            p for p in self._ckpt_dir().iterdir()
+            if p.name.startswith("step_")
+            and not p.name.endswith(".orbax-checkpoint-tmp")
         )
         for old in steps[:-keep]:
             shutil.rmtree(old, ignore_errors=True)
 
     def load_checkpoint(self) -> bool:
-        """Auto-resume from the latest checkpoint if present (non-strict:
-        a missing dir is fine, ≡ the reference's tolerant resume)."""
+        """Auto-resume from the latest *complete* checkpoint if present
+        (non-strict: a missing dir is fine, ≡ the reference's tolerant
+        resume).
+
+        A crash or SIGKILL mid-save leaves an ``*.orbax-checkpoint-tmp``
+        directory; orbax refuses to restore it, and treating it as the
+        latest step would crash-loop the relaunch wrapper forever (found by
+        ``scripts/soak.sh`` on-chip).  Stale tmp dirs are removed here —
+        the engine is the checkpoint dir's only writer, and at load time no
+        save of ours is in flight."""
+        import shutil
+
         import orbax.checkpoint as ocp
 
         d = self._ckpt_dir()
         if not d.exists():
             return False
+        for tmp in d.glob("*.orbax-checkpoint-tmp"):
+            _logger.warning(
+                f"Removing incomplete checkpoint {tmp} (killed mid-save)"
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
         steps = sorted(p for p in d.iterdir() if p.name.startswith("step_"))
         if not steps:
             return False
