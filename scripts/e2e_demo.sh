@@ -95,7 +95,11 @@ python -m $PKG 'make some noise' \
 
 # Gate: the overfit model must reproduce the training utterance's level-0
 # tokens (>=70% accuracy) — exits nonzero on quality regression.
+# Prompt with the OTHER utterance — the training prompt convention samples
+# from other utterances of the speaker (reference data.py:136-155); see
+# quality_gate.py docstring for the measured OOD effect at production size.
 python scripts/quality_gate.py "$WORK/zoo/diff" \
-    "$WORK/data/overfit/spk1/utt0.wav" 'hello there' --min-acc 0.7
+    "$WORK/data/overfit/spk1/utt0.wav" 'hello there' \
+    --prompt-wav "$WORK/data/overfit/spk1/utt1.wav" --min-acc 0.7
 
 echo "demo complete: $WORK/out.wav $WORK/out_diff.wav (quality gate passed)"

@@ -10,7 +10,16 @@ and of the reference's one-sample overfit convention
 regression so the demo fails loudly.
 
     python scripts/quality_gate.py <bundle-dir> <train.wav> '<text>' \
-        [--min-acc 0.7] [--seed 0]
+        [--prompt-wav <other.wav>] [--min-acc 0.7] [--seed 0]
+
+``--prompt-wav`` (default: the target wav) must match the TRAINING prompt
+convention: prompts are sampled from *other* utterances of the speaker
+(``/root/reference/vall_e/data.py:136-155`` — the current utterance is
+excluded), so on a tiny overfit corpus a production-size model memorizes
+the exact (text, prompt) pairing and prompting with the target utterance
+itself is out-of-distribution (measured: 1.000 vs 0.200 level-0 accuracy
+on the 2-utterance soak corpus — per-t x0 accuracy is 1.0 at every
+timestep with the training-style prompt).  Pass the *other* utterance here.
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ def main():
     ap.add_argument("bundle", type=Path)
     ap.add_argument("wav", type=Path)
     ap.add_argument("text")
+    ap.add_argument("--prompt-wav", type=Path, default=None)
     ap.add_argument("--min-acc", type=float, default=0.7)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -47,7 +57,10 @@ def main():
 
     codes = qnt.encode_from_file(args.wav)  # (8, T)
     target = np.asarray(codes[0])
-    proms = np.asarray(codes).T  # (T, 8)
+    prom_codes = (
+        qnt.encode_from_file(args.prompt_wav) if args.prompt_wav else codes
+    )
+    proms = np.asarray(prom_codes).T  # (T, 8)
 
     phn_ids = phones_to_ids(g2p.encode(args.text), phone_symmap, strict=False)
 

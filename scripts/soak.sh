@@ -112,8 +112,14 @@ timeout 7200 bash scripts/run.sh \
 python scripts/soak_check.py "$LOG_DIR" "$MAX_ITER"
 
 # ---- export + quality gate ----
+# Prompt with the OTHER utterance (utt1): training prompts are sampled from
+# other utterances of the speaker (reference data.py:136-155), so the
+# production-size model memorizes the (text, prompt) pairing — prompting
+# with the target itself is out-of-distribution on a 2-utterance corpus
+# (measured 0.200 vs 1.000 level-0 accuracy; quality_gate.py docstring).
 python -m $PKG.export "$WORK/zoo/diff" "yaml=$WORK/soak.yml"
 python scripts/quality_gate.py "$WORK/zoo/diff" \
-    "$WORK/data/overfit/spk1/utt0.wav" 'hello there' --min-acc "$MIN_ACC"
+    "$WORK/data/overfit/spk1/utt0.wav" 'hello there' \
+    --prompt-wav "$WORK/data/overfit/spk1/utt1.wav" --min-acc "$MIN_ACC"
 
 echo "soak complete: killed at ~${KILL_AFTER}s, resumed, reached $MAX_ITER steps, quality gate passed"
