@@ -361,3 +361,42 @@ def test_prom_bucket_tightening_output_invariant(zoo):
         [dict(row, prom_n=synth.prom_len)], [5]
     )[0]
     np.testing.assert_array_equal(tight, full)
+
+
+def test_mesh_tp_serving_matches_single_device(zoo, tmp_path_factory):
+    """``mesh_tp=2`` shards heads/MLP/vocab over a 1×2 mesh (SPMD via the
+    trainer's logical annotations); the served codes must equal the
+    single-device codes exactly — the reference is single-GPU only
+    (``__main__.py:50``)."""
+    from tts_with_diffusion_model_tpu.export import save_bundle
+    from tts_with_diffusion_model_tpu.models.diffusion import (
+        DiffusionConfig,
+        DiffusionModel,
+    )
+    from tts_with_diffusion_model_tpu.serve import Synthesizer
+
+    root = tmp_path_factory.mktemp("serve_zoo_tp")
+    phone_symmap = {p: i for i, p in enumerate(
+        ["<s>", "</s>", "_", "M", "EY1", "K", "S", "AH1", "N", "OY1", "Z",
+         "T", "EH1", "W", "AO1", "R", "HH", "IY1", "UW1", "AY1", "D"], 1)}
+    dcfg = DiffusionConfig(n_classes=V + 1, d_model=32, n_heads=4,
+                           n_layers=2, timesteps=4, resp_len=12,
+                           text_len=16, prom_len=10, gen_len=8)
+    dm = DiffusionModel(dcfg, dtype=jnp.float32)
+    d_params = dm.init(jax.random.PRNGKey(0))
+    save_bundle(root / "diffusion", d_params,
+                {"model": "diffusion", "num_tokens": V, "d_model": 32,
+                 "n_heads": 4, "n_layers": 2, "timesteps": 4,
+                 "resp_len": 12, "text_len": 16, "prom_len": 10,
+                 "gen_len": 8}, phone_symmap, {"ref": 0})
+
+    kw = dict(bf16=False)
+    single = Synthesizer(root / "diffusion", zoo / "nar", **kw)
+    sharded = Synthesizer(root / "diffusion", zoo / "nar", mesh_tp=2, **kw)
+    assert sharded.mesh is not None and sharded.mesh.shape["tp"] == 2
+
+    row_s = single._prepare("make some noise", zoo / "ref.wav")
+    row_t = sharded._prepare("make some noise", zoo / "ref.wav")
+    out_single = single.synthesize_codes_batch([row_s], [3])[0]
+    out_tp = sharded.synthesize_codes_batch([row_t], [3])[0]
+    np.testing.assert_array_equal(out_tp, out_single)

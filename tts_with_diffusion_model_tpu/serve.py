@@ -75,6 +75,7 @@ class Synthesizer:
         bf16: bool = True,
         max_batch: int = 1,
         stride: int = 1,
+        mesh_tp: int = 1,
     ):
         from .__main__ import build_model
         from .codec.encodec import load_codec
@@ -88,6 +89,23 @@ class Synthesizer:
         if bf16:
             self.first_params = cast_params_bf16(self.first_params)
             self.nar_params = cast_params_bf16(self.nar_params)
+
+        # Tensor-parallel serving: shard attention heads / MLP hidden /
+        # vocab over a 1×tp mesh (same logical annotations the trainer
+        # resolves, parallel/mesh.py).  jit then compiles SPMD programs
+        # with XLA-inserted collectives riding ICI — for models past one
+        # chip's HBM or latency targets one chip can't reach.  Outputs are
+        # identical to single-device serving (tested on the virtual CPU
+        # mesh, tests/test_serve.py).  The reference is single-GPU only
+        # (``__main__.py:50``).
+        self.mesh = None
+        if mesh_tp > 1:
+            from .parallel.infer import shard_params
+            from .parallel.mesh import build_mesh
+
+            self.mesh = build_mesh(1, mesh_tp)
+            self.first_params = shard_params(self.mesh, self.first_params)
+            self.nar_params = shard_params(self.mesh, self.nar_params)
 
         self.codec = load_codec()
         self.text_len = text_len
@@ -672,6 +690,9 @@ def main():
     parser.add_argument("--stride", type=int, default=1,
                         help="diffusion skip-step stride (3 ≈ 3× faster, "
                              "slight quality trade; diffusion bundles only)")
+    parser.add_argument("--mesh-tp", type=int, default=1,
+                        help="tensor-parallel degree: shard heads/MLP/vocab "
+                             "over this many chips (1 = single device)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -679,6 +700,7 @@ def main():
         args.ar_ckpt, args.nar_ckpt, max_batch=args.max_batch,
         max_ar_steps=args.max_ar_steps, temperature=args.temperature,
         nar_temperature=args.nar_temperature, stride=args.stride,
+        mesh_tp=args.mesh_tp,
     )
     if args.warmup_reference:
         synth.warmup(args.warmup_reference)
