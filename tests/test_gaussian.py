@@ -252,3 +252,56 @@ def test_conv_unet_masked_norm_bucket_invariant():
     np.testing.assert_allclose(out32[0, :valid], out16[0, :valid],
                                rtol=1e-4, atol=1e-5)
     assert np.abs(out32[0, valid:]).sum() == 0
+
+
+def test_gaussian_generate_row_key_isolation():
+    """Per-row RNG contract (same as the D3PM): a row's tokens depend only
+    on its own key, so batched serving cohorts can't change a request's
+    audio (reference variants draw one global noise stream)."""
+    from tts_with_diffusion_model_tpu.utils.rng import as_row_keys
+
+    m = GaussianDiffusionModel(_tiny_cfg("embedding"), dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = m.init(rng)
+    b = _batch(rng)
+    keys = as_row_keys(jax.random.PRNGKey(42), 2)
+
+    both = m.generate(params, b["text"], b["text_mask"], b["proms"],
+                      b["prom_mask"], keys)
+    solo = m.generate(params, b["text"][:1], b["text_mask"][:1],
+                      b["proms"][:1], b["prom_mask"][:1], keys[:1])
+    np.testing.assert_array_equal(np.asarray(both[:1]), np.asarray(solo))
+
+
+def test_gaussian_bundle_cli_rebuild_and_generate(tmp_path):
+    """Export → build_model round-trip for the continuous family: the CLI
+    must rebuild the exact architecture from the bundle meta (a name
+    starting with "diffusion" must NOT fall into the D3PM branch) and run
+    its first stage."""
+    from tts_with_diffusion_model_tpu.__main__ import (
+        build_model,
+        first_stage_generate,
+    )
+    from tts_with_diffusion_model_tpu.export import load_bundle, save_bundle
+
+    cfg = _tiny_cfg("value")
+    m = GaussianDiffusionModel(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(3)
+    params = m.init(rng)
+    meta = {
+        "model": "diffusion-gaussian-value", "num_tokens": 64,
+        "d_model": 16, "n_heads": 2, "n_layers": 1, "timesteps": 6,
+        "resp_len": 12, "text_len": 5, "prom_len": 7, "gen_len": 9,
+    }
+    save_bundle(tmp_path / "g", params, meta, {"_": 1}, {})
+    p2, meta2, _, _ = load_bundle(tmp_path / "g")
+    m2 = build_model(meta2)
+    assert isinstance(m2, GaussianDiffusionModel)
+    assert m2.config == cfg
+
+    import argparse
+    args = argparse.Namespace(stride=1, max_ar_steps=8, temperature=1.0)
+    out = first_stage_generate(
+        meta2, m2, p2, [1, 2, 1], np.zeros((5, 8), np.int64), rng, args
+    )
+    assert out.shape == (9,)

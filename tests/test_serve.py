@@ -400,3 +400,40 @@ def test_mesh_tp_serving_matches_single_device(zoo, tmp_path_factory):
     out_single = single.synthesize_codes_batch([row_s], [3])[0]
     out_tp = sharded.synthesize_codes_batch([row_t], [3])[0]
     np.testing.assert_array_equal(out_tp, out_single)
+
+
+def test_gaussian_first_stage_serving(zoo, tmp_path_factory):
+    """The continuous-DDPM family serves through the same Synthesizer path
+    as the D3PM (fixed buckets, per-row keys): codes are cohort-independent
+    and the batch path matches solo requests."""
+    from tts_with_diffusion_model_tpu.export import save_bundle
+    from tts_with_diffusion_model_tpu.models.gaussian_tts import (
+        GaussianConfig,
+        GaussianDiffusionModel,
+    )
+    from tts_with_diffusion_model_tpu.serve import Synthesizer
+
+    root = tmp_path_factory.mktemp("serve_zoo_gauss")
+    phone_symmap = {p: i for i, p in enumerate(
+        ["<s>", "</s>", "_", "M", "EY1", "K", "S", "AH1", "N", "OY1", "Z",
+         "T", "EH1", "W", "AO1", "R", "HH", "IY1", "UW1", "AY1", "D"], 1)}
+    gcfg = GaussianConfig(n_tokens=V, d_model=16, n_heads=2, n_layers=1,
+                          timesteps=4, resp_len=12, text_len=16,
+                          prom_len=10, gen_len=8)
+    gm = GaussianDiffusionModel(gcfg, dtype=jnp.float32)
+    g_params = gm.init(jax.random.PRNGKey(0))
+    save_bundle(root / "gauss", g_params,
+                {"model": "diffusion-gaussian", "num_tokens": V,
+                 "d_model": 16, "n_heads": 2, "n_layers": 1, "timesteps": 4,
+                 "resp_len": 12, "text_len": 16, "prom_len": 10,
+                 "gen_len": 8}, phone_symmap, {"ref": 0})
+
+    synth = Synthesizer(root / "gauss", zoo / "nar", bf16=False, max_batch=4)
+    assert synth.is_diffusion and synth.gen_len == 8
+
+    texts = ["make some noise", "one two", "say it", "more noise"]
+    seeds = [11, 12, 13, 14]
+    rows = [synth._prepare(t, zoo / "ref.wav") for t in texts]
+    together = synth.synthesize_codes_batch(rows, seeds)
+    solo = synth.synthesize_codes_batch([rows[2]], [seeds[2]])[0]
+    np.testing.assert_array_equal(together[2], solo)

@@ -28,8 +28,9 @@ def first_stage_generate(meta, model, params, phn_ids, proms, rng, args):
     """Run the AR or diffusion first stage → level-0 token array (t,)."""
     from .models.ar import ar_generate
     from .models.diffusion import DiffusionModel
+    from .models.gaussian_tts import GaussianDiffusionModel
 
-    if isinstance(model, DiffusionModel):
+    if isinstance(model, (DiffusionModel, GaussianDiffusionModel)):
         c = model.config
         text = np.zeros((1, c.text_len), np.int32)
         tm = np.zeros((1, c.text_len), np.float32)
@@ -41,11 +42,17 @@ def first_stage_generate(meta, model, params, phn_ids, proms, rng, args):
         np_ = min(len(proms), c.prom_len)
         pr[0, :np_] = proms[:np_]
         pm[0, :np_] = 1
+        kw = {}
+        if isinstance(model, DiffusionModel):
+            # D3PM-only knobs: skip-step stride and the tight generation
+            # bucket (bit-identical valid tokens, less O(T^2) work).
+            kw = dict(
+                stride=max(1, args.stride),
+                resp_bucket=min(c.resp_len, -(-c.gen_len // 128) * 128),
+            )
         out = model.generate(
             params, jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
-            jnp.asarray(pm), rng, stride=max(1, args.stride),
-            # tight bucket: bit-identical valid tokens, less O(T^2) work
-            resp_bucket=min(c.resp_len, -(-c.gen_len // 128) * 128),
+            jnp.asarray(pm), rng, **kw,
         )
         # first gen_len positions are the generated utterance; the rest are
         # padding (0 is a *valid* codec token, so slice — don't filter).
@@ -74,6 +81,21 @@ def build_model(meta):
     name = meta["model"].lower()
     num_tokens = meta.get("num_tokens", 1024)
     dims = {k: meta[k] for k in ("d_model", "n_heads", "n_layers") if k in meta}
+    if name.startswith("diffusion-gaussian"):
+        # Continuous-DDPM family: rebuild through the registry so the
+        # name-encoded domain/denoiser choices apply, with any exported
+        # architecture overrides on top (JSON lists → tuples for the
+        # dataclass fields).
+        ov = {
+            k: tuple(meta[k]) if isinstance(meta[k], list) else meta[k]
+            for k in (
+                "d_model", "n_heads", "n_layers", "timesteps", "schedule",
+                "domain", "resp_len", "text_len", "prom_len", "gen_len",
+                "unet_dims", "denoiser", "unet_channels",
+            )
+            if k in meta
+        }
+        return get_model(name, num_tokens, ov or None)
     if not dims:
         return get_model(name, num_tokens)
     if name.startswith("diffusion"):

@@ -262,31 +262,40 @@ class GaussianDiffusionModel:
 
     def generate(self, params, text, text_mask, proms, prom_mask, rng,
                  gen_len: int | None = None):
-        """Reverse loop as one ``lax.scan``; decode to tokens at the end."""
+        """Reverse loop as one ``lax.scan``; decode to tokens at the end.
+
+        ``rng`` is a single key or per-row keys (B, 2) — all noise is drawn
+        per row (``utils/rng.py``), so a row's tokens depend only on its own
+        key and batched serving stays per-request reproducible (the same
+        contract as the D3PM ``DiffusionModel.generate``).
+        """
+        from ..utils.rng import as_row_keys, fold_rows, row_normal
+
         c = self.config
         B = text.shape[0]
         gl = gen_len if gen_len is not None else c.gen_len
         rm = (jnp.arange(c.resp_len)[None, :] < gl).astype(jnp.float32)
         rm = jnp.broadcast_to(rm, (B, c.resp_len))
 
-        rng, r0 = jax.random.split(rng)
-        x = jax.random.normal(r0, (B, c.resp_len, self.in_dim), jnp.float32)
+        row_keys = as_row_keys(rng, B)
+        # init noise tagged with T (disjoint from every step tag in [0, T))
+        x = row_normal(
+            fold_rows(row_keys, c.timesteps), (c.resp_len, self.in_dim)
+        )
         x = x * rm[..., None]
 
         cond_state = self._conds(params, text, text_mask, proms, prom_mask)
         ts = jnp.arange(c.timesteps - 1, -1, -1)
-        rngs = jax.random.split(rng, ts.shape[0])
 
-        def step(x_t, inp):
-            t_scalar, r = inp
+        def step(x_t, t_scalar):
             t = jnp.full((B,), t_scalar, jnp.int32)
             eps = self.denoiser.apply(
                 params, x_t, rm, t, *cond_state, method="denoise",
             )
-            z = jax.random.normal(r, x_t.shape, jnp.float32)
+            z = row_normal(fold_rows(row_keys, t_scalar), x_t.shape[1:])
             x_prev = self.process.p_sample(eps, x_t, t, z)
             return x_prev * rm[..., None], None
 
-        x, _ = jax.lax.scan(step, x, (ts, rngs))
+        x, _ = jax.lax.scan(step, x, ts)
         tokens = self._from_domain(params, x)
         return (tokens * rm).astype(jnp.int32)

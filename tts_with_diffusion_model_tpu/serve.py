@@ -118,8 +118,11 @@ class Synthesizer:
         self._lock = threading.Lock()
 
         from .models.diffusion import DiffusionModel
+        from .models.gaussian_tts import GaussianDiffusionModel
 
-        self.is_diffusion = isinstance(self.first, DiffusionModel)
+        self.is_diffusion = isinstance(
+            self.first, (DiffusionModel, GaussianDiffusionModel)
+        )
         if self.is_diffusion:
             c = self.first.config
             self.text_len, self.prom_len, self.gen_len = (
@@ -135,6 +138,13 @@ class Synthesizer:
             # bit-identical valid tokens, ~25% less self-attention score
             # work per step (model.generate docstring).
             bucket_v = min(c.resp_len, -(-c.gen_len // 128) * 128)
+            # D3PM-only knobs; the continuous Gaussian family samples its
+            # full fixed schedule at the model bucket.
+            gen_kw = (
+                dict(stride=stride_v, resp_bucket=bucket_v)
+                if isinstance(self.first, DiffusionModel)
+                else {}
+            )
 
             def first_gen(p, t, tm, pr, pm, r):
                 # Device batches past GEN_CHUNK run as sequential
@@ -152,17 +162,14 @@ class Synthesizer:
                     def one(xs):
                         t_, m1, pr_, m2, r_ = xs
                         return self.first.generate(
-                            p, t_, m1, pr_, m2, r_, stride=stride_v,
-                            resp_bucket=bucket_v,
+                            p, t_, m1, pr_, m2, r_, **gen_kw,
                         )
 
                     out = jax.lax.map(
                         one, (ck(t), ck(tm), ck(pr), ck(pm), ck(r))
                     )
                     return out.reshape(B, *out.shape[2:])
-                return self.first.generate(p, t, tm, pr, pm, r,
-                                           stride=stride_v,
-                                           resp_bucket=bucket_v)
+                return self.first.generate(p, t, tm, pr, pm, r, **gen_kw)
 
             self._first_gen = jax.jit(first_gen)
 

@@ -57,3 +57,8 @@ def row_uniform(row_keys: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
 def row_gumbel(row_keys: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
     """(B, *shape) Gumbel noise where row i depends only on ``row_keys[i]``."""
     return jax.vmap(lambda k: jax.random.gumbel(k, shape, dtype))(row_keys)
+
+
+def row_normal(row_keys: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
+    """(B, *shape) Gaussian noise where row i depends only on ``row_keys[i]``."""
+    return jax.vmap(lambda k: jax.random.normal(k, shape, dtype))(row_keys)
