@@ -437,3 +437,27 @@ def test_gaussian_first_stage_serving(zoo, tmp_path_factory):
     together = synth.synthesize_codes_batch(rows, seeds)
     solo = synth.synthesize_codes_batch([rows[2]], [seeds[2]])[0]
     np.testing.assert_array_equal(together[2], solo)
+
+
+def test_prompt_codes_cache(zoo, synth):
+    """Repeated reference wavs hit the encode cache; touching the file
+    (new mtime) invalidates the entry and re-encodes."""
+    import os
+    import shutil
+
+    ref2 = zoo / "ref_cache.wav"
+    shutil.copy(zoo / "ref.wav", ref2)
+    h0, m0 = synth.prom_cache_hits, synth.prom_cache_misses
+
+    c1 = synth.prompt_codes(ref2)
+    assert (synth.prom_cache_hits, synth.prom_cache_misses) == (h0, m0 + 1)
+    c2 = synth.prompt_codes(ref2)
+    assert (synth.prom_cache_hits, synth.prom_cache_misses) == (h0 + 1, m0 + 1)
+    np.testing.assert_array_equal(c1, c2)
+
+    # invalidation: same path, new mtime → cache miss, fresh encode
+    st = ref2.stat()
+    os.utime(ref2, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    c3 = synth.prompt_codes(ref2)
+    assert synth.prom_cache_misses == m0 + 2
+    np.testing.assert_array_equal(c1, c3)

@@ -116,6 +116,12 @@ class Synthesizer:
         self.nar_temperature = nar_temperature
         self.max_batch = max(1, max_batch)
         self._lock = threading.Lock()
+        from collections import OrderedDict
+
+        self._prom_cache: OrderedDict = OrderedDict()
+        self._prom_cache_lock = threading.Lock()
+        self.prom_cache_hits = 0
+        self.prom_cache_misses = 0
 
         from .models.diffusion import DiffusionModel
         from .models.gaussian_tts import GaussianDiffusionModel
@@ -202,11 +208,39 @@ class Synthesizer:
     def phone_ids(self, text: str) -> list[int]:
         return self.phones_and_ids(text)[1]
 
+    #: reference-wav encode cache capacity (distinct speaker prompts kept)
+    PROM_CACHE_CAP = 64
+
     def prompt_codes(self, reference: str | Path) -> np.ndarray:
-        """Reference wav → (t, 8) codec prompt codes."""
+        """Reference wav → (t, 8) codec prompt codes.
+
+        Cached per (path, mtime, size): serving traffic reuses a small set
+        of speaker prompts, and re-running the codec encoder per request
+        is pure waste (measured 29.3 ms/encode on-chip, PARITY.md — at
+        B=1 that's ~30% of a whole synthesis).  A changed file re-encodes.
+        """
         from .emb import qnt
 
-        return qnt.encode_from_file(reference).T.astype(np.int32)
+        try:
+            st = Path(reference).stat()
+            key = (str(Path(reference).resolve()), st.st_mtime_ns, st.st_size)
+        except OSError:
+            # let encode_from_file raise its own (clearer) error
+            return qnt.encode_from_file(reference).T.astype(np.int32)
+        with self._prom_cache_lock:
+            hit = self._prom_cache.get(key)
+            if hit is not None:
+                self._prom_cache.move_to_end(key)
+                self.prom_cache_hits += 1
+                return hit
+        codes = qnt.encode_from_file(reference).T.astype(np.int32)
+        with self._prom_cache_lock:
+            self.prom_cache_misses += 1
+            self._prom_cache[key] = codes
+            self._prom_cache.move_to_end(key)
+            while len(self._prom_cache) > self.PROM_CACHE_CAP:
+                self._prom_cache.popitem(last=False)
+        return codes
 
     def _prepare_ids(self, ids: list[int], proms: np.ndarray) -> dict:
         """Bucket-pad phone ids + (t, 8) prompt codes into one request row.
@@ -591,7 +625,13 @@ def make_server(
             if self.path == "/healthz":
                 body = json.dumps({"status": "ok"}).encode()
             elif self.path == "/stats":
-                body = json.dumps(stats.snapshot()).encode()
+                snap = stats.snapshot()
+                snap["prom_cache"] = {
+                    "hits": synth.prom_cache_hits,
+                    "misses": synth.prom_cache_misses,
+                    "size": len(synth._prom_cache),
+                }
+                body = json.dumps(snap).encode()
             else:
                 self.send_error(404)
                 return
