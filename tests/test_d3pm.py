@@ -427,3 +427,116 @@ def test_generate_tight_bucket_bit_identical():
 
     with pytest.raises(ValueError, match="resp_bucket"):
         model.generate(params, text, tm, proms, pm, keys, resp_bucket=8)
+
+
+def test_maskgit_invariants_and_cohort_independence():
+    """MaskGIT-style confidence decoding (generate_maskgit): shapes,
+    zeroed padding, per-row cohort independence (a row's tokens are
+    identical alone vs batched, so serving keeps per-request determinism),
+    tight-bucket bit-identity, single-key fallback, and the
+    absorbing-family guard."""
+    from tts_with_diffusion_model_tpu.models.diffusion import (
+        DiffusionConfig,
+        DiffusionModel,
+    )
+    from tts_with_diffusion_model_tpu.utils.rng import row_keys_from_seeds
+
+    cfg = DiffusionConfig(
+        n_classes=33, d_model=16, n_heads=2, n_layers=1, timesteps=6,
+        resp_len=16, text_len=4, prom_len=5, gen_len=10,
+    )
+    model = DiffusionModel(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    B = 3
+    text = jnp.asarray(rng.integers(1, 33, (B, 4)), jnp.int32)
+    tm = jnp.ones((B, 4), jnp.float32)
+    proms = jnp.asarray(rng.integers(0, 33, (B, 5, 8)), jnp.int32)
+    pm = jnp.ones((B, 5), jnp.float32)
+    keys = row_keys_from_seeds([101, 202, 303])
+
+    out = np.asarray(
+        model.generate_maskgit(params, text, tm, proms, pm, keys, steps=4)
+    )
+    assert out.shape == (B, 16)
+    assert int(out[:, 10:].sum()) == 0
+
+    for i in range(B):
+        solo = np.asarray(model.generate_maskgit(
+            params, text[i:i + 1], tm[i:i + 1], proms[i:i + 1],
+            pm[i:i + 1], keys[i:i + 1], steps=4,
+        ))
+        np.testing.assert_array_equal(solo[0], out[i])
+
+    tight = np.asarray(model.generate_maskgit(
+        params, text, tm, proms, pm, keys, steps=4, resp_bucket=12,
+    ))
+    assert tight.shape == (B, 12)
+    np.testing.assert_array_equal(tight[:, :10], out[:, :10])
+
+    single = np.asarray(model.generate_maskgit(
+        params, text, tm, proms, pm, jax.random.PRNGKey(5), steps=4,
+    ))
+    assert single.shape == (B, 16)
+
+    with pytest.raises(ValueError, match="steps"):
+        model.generate_maskgit(params, text, tm, proms, pm, keys, steps=0)
+
+    ucfg = DiffusionConfig(
+        n_classes=33, d_model=16, n_heads=2, n_layers=1, timesteps=6,
+        resp_len=16, text_len=4, prom_len=5, gen_len=10,
+        transition="uniform",
+    )
+    um = DiffusionModel(ucfg, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="absorbing"):
+        um.generate_maskgit(params, text, tm, proms, pm, keys, steps=4)
+
+
+@pytest.mark.slow
+def test_maskgit_recovers_overfit_sequence():
+    """After overfitting one sequence, confidence decoding in 5 steps (vs
+    the 8-step ancestral chain) still reconstructs it — the sampler is a
+    valid decoder for the trained absorbing-state denoiser."""
+    import optax
+
+    from tts_with_diffusion_model_tpu.models.diffusion import (
+        DiffusionConfig,
+        DiffusionModel,
+    )
+
+    Vv = 33
+    cfg = DiffusionConfig(
+        n_classes=Vv, d_model=64, n_heads=4, n_layers=2, timesteps=8,
+        resp_len=16, text_len=6, prom_len=8, gen_len=16,
+    )
+    m = DiffusionModel(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = m.init(rng)
+    tgt = jax.random.randint(jax.random.PRNGKey(5), (1, 16), 0, Vv - 1)
+    batch = dict(
+        text=jnp.full((1, 6), 3), text_mask=jnp.ones((1, 6)),
+        proms=jnp.zeros((1, 8, 8), jnp.int32), prom_mask=jnp.ones((1, 8)),
+        resp=tgt, resp_mask=jnp.ones((1, 16)),
+    )
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o, r):
+        (l, _), g = jax.value_and_grad(
+            lambda pp: m.loss(pp, batch, r), has_aux=True
+        )(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    for i in range(400):
+        rng, sub = jax.random.split(rng)
+        params, opt, _ = step(params, opt, sub)
+
+    out = m.generate_maskgit(
+        params, batch["text"], batch["text_mask"], batch["proms"],
+        batch["prom_mask"], jax.random.PRNGKey(1), steps=5,
+        temperature=0.0,
+    )
+    acc = float((out[0] == tgt[0]).mean())
+    assert acc > 0.6, acc

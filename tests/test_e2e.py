@@ -126,6 +126,17 @@ def test_cli_diffusion_stride_sampling(zoo, monkeypatch, tmp_path):
     assert sr == 24_000 and wav.shape[1] == 40 * 320  # gen_len frames
 
 
+def test_cli_diffusion_maskgit_decode(zoo, monkeypatch, tmp_path):
+    """--decode maskgit runs confidence-ordered parallel decoding through
+    the real CLI entrypoint; output covers the full generation bucket."""
+    out = _run_cli(zoo, monkeypatch, tmp_path, "diffusion",
+                   extra=("--decode", "maskgit", "--maskgit-steps", "4"))
+    from tts_with_diffusion_model_tpu.audio.wavio import read_wav
+
+    wav, sr = read_wav(out)
+    assert sr == 24_000 and wav.shape[1] == 40 * 320  # gen_len frames
+
+
 def test_cli_longform_auto_engages(zoo, monkeypatch, tmp_path):
     """Text over the diffusion first stage's 24-phone bucket routes through
     long-form: ≥2 chained 40-frame segments in one seam-free decode

@@ -461,3 +461,47 @@ def test_prompt_codes_cache(zoo, synth):
     c3 = synth.prompt_codes(ref2)
     assert synth.prom_cache_misses == m0 + 2
     np.testing.assert_array_equal(c1, c3)
+
+
+def test_maskgit_decode_serving_path(zoo, tmp_path_factory):
+    """--decode maskgit: the serving runtime swaps the ancestral chain for
+    confidence-ordered parallel decoding.  Verifies the full request path
+    produces codes, batched output matches solo (per-row keys), and that
+    the decode mode actually changes the first-stage tokens vs ancestral."""
+    from tts_with_diffusion_model_tpu.export import save_bundle
+    from tts_with_diffusion_model_tpu.models.diffusion import (
+        DiffusionConfig,
+        DiffusionModel,
+    )
+    from tts_with_diffusion_model_tpu.serve import Synthesizer
+
+    root = tmp_path_factory.mktemp("serve_zoo_mg")
+    phone_symmap = {p: i for i, p in enumerate(
+        ["<s>", "</s>", "_", "M", "EY1", "K", "S", "AH1", "N", "OY1", "Z",
+         "T", "EH1", "W", "AO1", "R", "HH", "IY1", "UW1", "AY1", "D"], 1)}
+    dcfg = DiffusionConfig(n_classes=V + 1, d_model=16, n_heads=2,
+                           n_layers=1, timesteps=4, resp_len=12,
+                           text_len=16, prom_len=10, gen_len=8)
+    dm = DiffusionModel(dcfg, dtype=jnp.float32)
+    d_params = dm.init(jax.random.PRNGKey(0))
+    save_bundle(root / "diffusion", d_params,
+                {"model": "diffusion", "num_tokens": V, "d_model": 16,
+                 "n_heads": 2, "n_layers": 1, "timesteps": 4,
+                 "resp_len": 12, "text_len": 16, "prom_len": 10,
+                 "gen_len": 8}, phone_symmap, {"ref": 0})
+
+    mg = Synthesizer(
+        root / "diffusion", zoo / "nar", bf16=False, max_batch=4,
+        decode="maskgit", maskgit_steps=3,
+    )
+    rows = [mg._prepare(t, zoo / "ref.wav")
+            for t in ["make some noise", "one two", "say it"]]
+    seeds = [100, 200, 300]
+    together = mg.synthesize_codes_batch(rows, seeds)
+    assert all(c.shape[1] == 8 for c in together)
+    solo = mg.synthesize_codes_batch([rows[1]], [seeds[1]])[0]
+    np.testing.assert_array_equal(together[1], solo)
+
+    anc = Synthesizer(root / "diffusion", zoo / "nar", bf16=False)
+    anc_codes = anc.synthesize_codes_batch([rows[0]], [seeds[0]])[0]
+    assert not np.array_equal(anc_codes[:, 0], together[0][:, 0])

@@ -43,14 +43,22 @@ def first_stage_generate(meta, model, params, phn_ids, proms, rng, args):
         pr[0, :np_] = proms[:np_]
         pm[0, :np_] = 1
         kw = {}
+        gen_fn = model.generate
         if isinstance(model, DiffusionModel):
             # D3PM-only knobs: skip-step stride and the tight generation
             # bucket (bit-identical valid tokens, less O(T^2) work).
-            kw = dict(
-                stride=max(1, args.stride),
-                resp_bucket=min(c.resp_len, -(-c.gen_len // 128) * 128),
-            )
-        out = model.generate(
+            bucket = min(c.resp_len, -(-c.gen_len // 128) * 128)
+            if getattr(args, "decode", "ancestral") == "maskgit":
+                # Confidence-ordered parallel decoding: K denoiser
+                # evaluations total (vs 99 ancestral) — see
+                # DiffusionModel.generate_maskgit.
+                gen_fn = model.generate_maskgit
+                kw = dict(
+                    steps=max(1, args.maskgit_steps), resp_bucket=bucket,
+                )
+            else:
+                kw = dict(stride=max(1, args.stride), resp_bucket=bucket)
+        out = gen_fn(
             params, jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
             jnp.asarray(pm), rng, **kw,
         )
@@ -129,6 +137,16 @@ def main():
         "--stride", type=int, default=1,
         help="diffusion skip-step sampling stride (3 ≈ 3× faster first "
              "stage with a slight quality trade; diffusion bundles only)",
+    )
+    parser.add_argument(
+        "--decode", choices=("ancestral", "maskgit"), default="ancestral",
+        help="D3PM sampler: the 99-step ancestral chain (reference-parity) "
+             "or confidence-ordered parallel decoding in --maskgit-steps "
+             "denoiser evaluations (D3PM bundles only)",
+    )
+    parser.add_argument(
+        "--maskgit-steps", type=int, default=12,
+        help="denoiser evaluations for --decode maskgit",
     )
     parser.add_argument(
         "--segment-phones", type=int, default=None,

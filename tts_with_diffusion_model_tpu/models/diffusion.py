@@ -265,3 +265,143 @@ class DiffusionModel:
 
         x, _ = jax.lax.scan(step, x, (ts, ss))
         return x
+
+    def generate_maskgit(
+        self,
+        params,
+        text,
+        text_mask,
+        proms,
+        prom_mask,
+        rng: jax.Array,
+        steps: int = 12,
+        temperature: float = 1.0,
+        choice_temperature: float = 4.5,
+        gen_len: int | None = None,
+        resp_bucket: int | None = None,
+    ):
+        """Confidence-ordered parallel decoding (MaskGIT-style) in ``steps``
+        denoiser evaluations instead of the 99-step ancestral chain.
+
+        The absorbing-state D3PM is exactly a masked-token model: at process
+        step t each token is independently absorbed with probability
+        ``cum_off[t]``, and the denoiser predicts x_0 from the partially
+        masked sequence.  That training distribution also licenses the
+        MaskGIT sampler (Chang et al. 2022): start all-masked, and at each of
+        K steps sample every still-masked position from the x_0 logits, keep
+        the most confident ones per a cosine unmasking schedule, and re-mask
+        the rest.  Each step's mask *fraction* is mapped back to the process
+        timestep with the nearest expected mask rate, so the denoiser is
+        conditioned in-distribution.
+
+        Versus ``generate(stride=k)`` this cuts denoiser evaluations further
+        (e.g. 12 vs 99) while choosing *which* tokens to commit by model
+        confidence rather than by position-independent chance — the
+        quality/latency frontier the reference's dense-matrix formulation
+        offers no analogue of (its sampler is the fixed 99-step loop,
+        ``ar_discrete.py:750-780``).
+
+        ``rng``: one key or per-row (B, 2) keys; all draws are per-row, so
+        batched serving keeps per-request reproducibility.  Returns
+        (B, resp_bucket) int tokens; positions ≥ gen_len are 0.
+        """
+        import numpy as np
+
+        c = self.config
+        if self.d3pm.transition != "absorbing":
+            raise ValueError("maskgit decoding requires the absorbing family")
+        B = text.shape[0]
+        gl = gen_len if gen_len is not None else c.gen_len
+        bucket = resp_bucket if resp_bucket is not None else c.resp_len
+        if bucket < gl:
+            raise ValueError(f"resp_bucket {bucket} < gen_len {gl}")
+        K = int(steps)
+        if not 1 <= K <= gl:
+            raise ValueError(f"steps must be in [1, {gl}], got {K}")
+        absorb = self.d3pm.absorbing_state
+
+        rm = (jnp.arange(bucket)[None, :] < gl).astype(jnp.float32)
+        rm = jnp.broadcast_to(rm, (B, bucket))
+        valid = rm.astype(bool)
+        x = (jnp.full((B, bucket), absorb, jnp.int32) * rm).astype(jnp.int32)
+
+        text_cond, spkr_cond = self.denoiser.apply(
+            params, text, text_mask, proms, prom_mask, method=DiTDenoiser.conds
+        )
+        kv_list = self.denoiser.apply(
+            params, text_cond, spkr_cond, method=DiTDenoiser.cond_kv
+        )
+
+        # Static per-step schedule: tokens still masked AFTER step i follows
+        # the cosine γ(i/K); the timestep fed to the denoiser at step i is
+        # the one whose expected mask rate matches the fraction masked
+        # BEFORE the step (cum_off[t] = P[token absorbed by t]).
+        mask_rate = np.asarray(self.d3pm.cum_off, np.float64)  # (T,) increasing
+        n_mask_after = [
+            int(np.floor(gl * np.cos(np.pi / 2 * (i + 1) / K)))
+            for i in range(K)
+        ]
+        n_mask_after[-1] = 0
+        keep_counts, ts_sched, anneal = [], [], []
+        prev_mask = gl
+        for i in range(K):
+            frac_before = prev_mask / gl
+            t_i = int(np.searchsorted(mask_rate, frac_before))
+            ts_sched.append(max(1, min(self.d3pm.timesteps - 1, t_i)))
+            keep_counts.append(gl - n_mask_after[i])
+            anneal.append(1.0 - (i + 1) / K)
+            prev_mask = n_mask_after[i]
+        ts = jnp.asarray(ts_sched, jnp.int32)
+        keeps = jnp.asarray(keep_counts, jnp.int32)
+        anns = jnp.asarray(anneal, jnp.float32)
+        idxs = jnp.arange(K, dtype=jnp.int32)
+        row_keys = as_row_keys(rng, B)
+
+        neg_inf = jnp.float32(-1e30)
+        pos_inf = jnp.float32(1e30)
+
+        def step(carry, inp):
+            x_t, known = carry
+            t_scalar, keep, ann, i = inp
+            t = jnp.full((B,), t_scalar, jnp.int32)
+            logits = self.denoiser.apply(
+                params, x_t, rm, t, kv_list, text_mask, prom_mask,
+                method=DiTDenoiser.denoise_with_kv,
+            )
+            logits = logits.astype(jnp.float32)
+            # Two per-row noise draws, tagged by the step index so a row's
+            # stream is independent of batch cohort and of K-invariant code
+            # paths: token-sampling Gumbel and selection Gumbel.
+            g_tok = -jnp.log(-jnp.log(jnp.clip(
+                row_uniform(fold_rows(row_keys, 2 * i), logits.shape[1:]),
+                jnp.finfo(jnp.float32).tiny, 1.0,
+            )))
+            if temperature > 0:
+                sampled = jnp.argmax(logits / temperature + g_tok, axis=-1)
+            else:
+                sampled = jnp.argmax(logits, axis=-1)
+            sampled = sampled.astype(jnp.int32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            conf = jnp.take_along_axis(logp, sampled[..., None], axis=-1)[..., 0]
+            g_sel = -jnp.log(-jnp.log(jnp.clip(
+                row_uniform(fold_rows(row_keys, 2 * i + 1), conf.shape[1:]),
+                jnp.finfo(jnp.float32).tiny, 1.0,
+            )))
+            conf = conf + jnp.float32(choice_temperature) * ann * g_sel
+            # already-committed tokens always stay; padding never selected
+            conf = jnp.where(known, pos_inf, conf)
+            conf = jnp.where(valid, conf, neg_inf)
+            top_vals = jax.lax.top_k(conf, gl)[0]           # (B, gl) desc
+            thresh = jnp.take_along_axis(
+                top_vals, jnp.full((B, 1), keep - 1, jnp.int32), axis=1
+            )
+            selected = (conf >= thresh) & valid
+            cand = jnp.where(known, x_t, sampled)
+            x_next = jnp.where(selected, cand, absorb)
+            x_next = (x_next * rm).astype(jnp.int32)
+            return (x_next, selected), None
+
+        (x, _), _ = jax.lax.scan(
+            step, (x, valid & False), (ts, keeps, anns, idxs)
+        )
+        return x

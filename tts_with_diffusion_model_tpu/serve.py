@@ -76,6 +76,8 @@ class Synthesizer:
         max_batch: int = 1,
         stride: int = 1,
         mesh_tp: int = 1,
+        decode: str = "ancestral",
+        maskgit_steps: int = 12,
     ):
         from .__main__ import build_model
         from .codec.encodec import load_codec
@@ -145,12 +147,22 @@ class Synthesizer:
             # work per step (model.generate docstring).
             bucket_v = min(c.resp_len, -(-c.gen_len // 128) * 128)
             # D3PM-only knobs; the continuous Gaussian family samples its
-            # full fixed schedule at the model bucket.
-            gen_kw = (
-                dict(stride=stride_v, resp_bucket=bucket_v)
-                if isinstance(self.first, DiffusionModel)
-                else {}
-            )
+            # full fixed schedule at the model bucket.  decode="maskgit"
+            # swaps the 99-step ancestral chain for confidence-ordered
+            # parallel decoding in `maskgit_steps` denoiser evaluations
+            # (DiffusionModel.generate_maskgit) — the high-throughput
+            # serving mode.
+            gen_kw = {}
+            first_fn = self.first.generate
+            if isinstance(self.first, DiffusionModel):
+                if decode == "maskgit":
+                    first_fn = self.first.generate_maskgit
+                    gen_kw = dict(
+                        steps=max(1, int(maskgit_steps)),
+                        resp_bucket=bucket_v,
+                    )
+                else:
+                    gen_kw = dict(stride=stride_v, resp_bucket=bucket_v)
 
             def first_gen(p, t, tm, pr, pm, r):
                 # Device batches past GEN_CHUNK run as sequential
@@ -167,15 +179,13 @@ class Synthesizer:
 
                     def one(xs):
                         t_, m1, pr_, m2, r_ = xs
-                        return self.first.generate(
-                            p, t_, m1, pr_, m2, r_, **gen_kw,
-                        )
+                        return first_fn(p, t_, m1, pr_, m2, r_, **gen_kw)
 
                     out = jax.lax.map(
                         one, (ck(t), ck(tm), ck(pr), ck(pm), ck(r))
                     )
                     return out.reshape(B, *out.shape[2:])
-                return self.first.generate(p, t, tm, pr, pm, r, **gen_kw)
+                return first_fn(p, t, tm, pr, pm, r, **gen_kw)
 
             self._first_gen = jax.jit(first_gen)
 
@@ -740,6 +750,14 @@ def main():
     parser.add_argument("--mesh-tp", type=int, default=1,
                         help="tensor-parallel degree: shard heads/MLP/vocab "
                              "over this many chips (1 = single device)")
+    parser.add_argument("--decode", choices=("ancestral", "maskgit"),
+                        default="ancestral",
+                        help="D3PM sampler: 99-step ancestral chain "
+                             "(reference-parity) or confidence-ordered "
+                             "parallel decoding in --maskgit-steps denoiser "
+                             "evaluations (D3PM bundles only)")
+    parser.add_argument("--maskgit-steps", type=int, default=12,
+                        help="denoiser evaluations for --decode maskgit")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -747,7 +765,8 @@ def main():
         args.ar_ckpt, args.nar_ckpt, max_batch=args.max_batch,
         max_ar_steps=args.max_ar_steps, temperature=args.temperature,
         nar_temperature=args.nar_temperature, stride=args.stride,
-        mesh_tp=args.mesh_tp,
+        mesh_tp=args.mesh_tp, decode=args.decode,
+        maskgit_steps=args.maskgit_steps,
     )
     if args.warmup_reference:
         synth.warmup(args.warmup_reference)
