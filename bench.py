@@ -137,6 +137,28 @@ def main():
 
     mfu = (flops / p50) / PEAK_FLOPS if flops else None
 
+    # MaskGIT confidence decoding (12 denoiser evaluations vs 99): the
+    # high-throughput serving mode (models/diffusion.py generate_maskgit;
+    # passes the trained-bundle quality gate at 1.0 level-0 accuracy).
+    # Reported alongside, not as the headline — the headline stays the
+    # reference-parity ancestral chain for round-to-round comparability.
+    mg = jax.jit(
+        lambda p, r: model.generate_maskgit(p, text, tm, proms, pm, r,
+                                            steps=12, resp_bucket=bucket)
+    )
+    mg(params, rng).block_until_ready()
+    mg_lat = []
+    for i in range(12):
+        t0 = time.perf_counter()
+        mg(params, jax.random.PRNGKey(400 + i)).block_until_ready()
+        mg_lat.append(time.perf_counter() - t0)
+    mg_lat.sort()
+    mg_p50 = mg_lat[len(mg_lat) // 2]
+    t0 = time.perf_counter()
+    outs = [mg(params, jax.random.PRNGKey(500 + i)) for i in range(N)]
+    jax.block_until_ready(outs)
+    mg_pipelined = c.gen_len / ((time.perf_counter() - t0) / N)
+
     print(
         json.dumps(
             {
@@ -150,6 +172,9 @@ def main():
                 "throughput_tokens_per_sec": round(pipelined, 2),
                 "flops_per_generation": flops,
                 "mfu": round(mfu, 4) if mfu is not None else None,
+                "maskgit_p50_ms": round(mg_p50 * 1e3, 2),
+                "maskgit_tokens_per_sec_p50": round(c.gen_len / mg_p50, 2),
+                "maskgit_pipelined_tokens_per_sec": round(mg_pipelined, 2),
                 "weights": weights_src,
             }
         )

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--prompt-wav", type=Path, default=None)
     ap.add_argument("--min-acc", type=float, default=0.7)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--decode", choices=("ancestral", "maskgit"),
+                    default="ancestral",
+                    help="first-stage sampler (maskgit = confidence-ordered "
+                         "parallel decoding, D3PM bundles only)")
+    ap.add_argument("--maskgit-steps", type=int, default=12)
     args = ap.parse_args()
 
     import jax
@@ -76,9 +81,12 @@ def main():
     pm[0, :np_] = 1
 
     n_cmp = min(len(target), c.gen_len)
-    out = model.generate(
+    gen_fn, kw = model.generate, {}
+    if args.decode == "maskgit":
+        gen_fn, kw = model.generate_maskgit, {"steps": args.maskgit_steps}
+    out = gen_fn(
         params, jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
-        jnp.asarray(pm), jax.random.PRNGKey(args.seed), gen_len=n_cmp,
+        jnp.asarray(pm), jax.random.PRNGKey(args.seed), gen_len=n_cmp, **kw,
     )
     hyp = np.asarray(out[0, :n_cmp])
     acc = float((hyp == target[:n_cmp]).mean())
@@ -87,6 +95,7 @@ def main():
         "tokens_compared": int(n_cmp),
         "level0_token_accuracy": round(acc, 4),
         "min_acc": args.min_acc,
+        "decode": args.decode,
         "ok": acc >= args.min_acc,
     }
     print(json.dumps(report))
