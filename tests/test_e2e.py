@@ -193,3 +193,27 @@ def test_bundle_roundtrip(zoo):
     assert meta["model"] == "ar"
     assert phone_symmap["<s>"] == 1
     assert "params" in params
+
+
+def test_cli_longform_maskgit(zoo, monkeypatch, tmp_path):
+    """Long-form + --decode maskgit: the CLI passes the decode choice into
+    the long-form Synthesizer, so chained segments run confidence decoding
+    too (previously only the single-bucket path honored the flag)."""
+    from tts_with_diffusion_model_tpu.__main__ import main
+
+    out = tmp_path / "out_long_mg.wav"
+    argv = [
+        "prog",
+        "I am here to make some noise and then make even more noise today",
+        str(zoo / "ref.wav"), str(out),
+        "--ar-ckpt", str(zoo / "diffusion"),
+        "--nar-ckpt", str(zoo / "nar"),
+        "--fp32", "--decode", "maskgit", "--maskgit-steps", "3",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    main()
+    from tts_with_diffusion_model_tpu.audio.wavio import read_wav
+
+    wav, sr = read_wav(out)
+    frames = wav.shape[1] // 320
+    assert frames >= 2 * 40 and frames % 40 == 0

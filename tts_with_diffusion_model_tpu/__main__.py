@@ -199,6 +199,8 @@ def main():
             nar_temperature=args.nar_temperature,
             bf16=not args.fp32,
             stride=args.stride,
+            decode=args.decode,
+            maskgit_steps=args.maskgit_steps,
         )
         wav, sr = synthesize_long(
             synth, args.text, args.reference, seed=args.seed,
