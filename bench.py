@@ -60,9 +60,16 @@ def _load_trained_or_random(model, rng):
 
             params, meta, _, _ = load_bundle(cand)
             loaded = build_model(meta)
+            import dataclasses
+
+            def _infer_cfg(c):
+                # remat/train_mode only affect training, never the compiled
+                # generation program — ignore them when matching.
+                return dataclasses.replace(c, remat=False, train_mode="sampled")
+
             if (
                 type(loaded) is type(model)
-                and loaded.config == model.config
+                and _infer_cfg(loaded.config) == _infer_cfg(model.config)
             ):
                 return params, f"trained:{cand}"
         except Exception:

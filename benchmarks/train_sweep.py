@@ -40,6 +40,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="24,48,96,192")
     ap.add_argument("--runs", type=int, default=10)
+    ap.add_argument("--remat", action="store_true",
+                    help="per-block gradient checkpointing (the training "
+                         "default; lifts the batch ceiling)")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +56,7 @@ def main():
     from tts_with_diffusion_model_tpu.models import get_model
     from tts_with_diffusion_model_tpu.train.engine import Engine
 
-    dm = get_model("diffusion")
+    dm = get_model("diffusion", overrides={"remat": args.remat})
     c = dm.config
     rng = jax.random.PRNGKey(0)
     d_params = dm.init(rng)

@@ -175,6 +175,69 @@ def test_diffusion_model_loss_and_generate():
     assert int(out.min()) >= 0 and int(out.max()) < V
 
 
+def test_remat_is_exact_and_train_knobs_are_wired():
+    """Per-block gradient checkpointing (``remat``) must not change the
+    loss or its gradients — it only changes what the backward pass stores
+    vs recomputes.  Also pins the config wiring: ``gradient_checkpointing``
+    and ``diffusion_train_mode`` reach the model via ``build_model``
+    (round-1/2 lesson: no dead config knobs)."""
+    from tts_with_diffusion_model_tpu.models.diffusion import (
+        DiffusionConfig,
+        DiffusionModel,
+    )
+
+    kw = dict(
+        n_classes=V, d_model=16, n_heads=2, n_layers=2, timesteps=6,
+        resp_len=12, text_len=5, prom_len=7, gen_len=9,
+    )
+    m0 = DiffusionModel(DiffusionConfig(**kw), dtype=jnp.float32)
+    m1 = DiffusionModel(DiffusionConfig(**kw, remat=True), dtype=jnp.float32)
+    rng = jax.random.PRNGKey(1)
+    params = m0.init(rng)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        m1.init(rng)
+    )
+
+    B = 2
+    batch = dict(
+        text=jax.random.randint(rng, (B, 5), 1, V),
+        text_mask=jnp.ones((B, 5)),
+        proms=jax.random.randint(rng, (B, 7, 8), 0, V),
+        prom_mask=jnp.ones((B, 7)),
+        resp=jax.random.randint(rng, (B, 12), 0, V - 1),
+        resp_mask=jnp.ones((B, 12)).at[1, 9:].set(0),
+    )
+    g0 = jax.grad(lambda p: m0.loss(p, batch, rng)[0])(params)
+    g1 = jax.grad(lambda p: m1.loss(p, batch, rng)[0])(params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
+
+    # all_t (scan) path compiles and runs under remat too
+    m2 = DiffusionModel(
+        DiffusionConfig(**kw, remat=True, train_mode="all_t"),
+        dtype=jnp.float32,
+    )
+    assert jnp.isfinite(m2.loss(params, batch, rng)[0])
+
+    # config wiring through the train entrypoint's model builder
+    from tts_with_diffusion_model_tpu.config import Config
+    from tts_with_diffusion_model_tpu.train.train import build_model
+
+    cfg = Config(
+        model="diffusion",
+        diffusion_train_mode="all_t",
+        model_overrides=dict(d_model=16, n_heads=2, n_layers=1, timesteps=4),
+    )
+    m = build_model(cfg)
+    assert m.config.train_mode == "all_t"
+    assert m.config.remat is True  # gradient_checkpointing defaults on
+    cfg2 = Config(model="diffusion", gradient_checkpointing=False,
+                  model_overrides=dict(d_model=16, n_heads=2, n_layers=1))
+    assert build_model(cfg2).config.remat is False
+
+
 def test_structured_matches_dense_ops():
     """The closed-form structured path must agree with explicit dense
     matrices for both transition families."""

@@ -108,6 +108,30 @@ def test_gaussian_model_embedding_domain():
     assert 0 <= int(out.min()) and int(out.max()) < 65
 
 
+def test_gaussian_remat_is_exact():
+    """Per-block gradient checkpointing must not change loss or grads
+    (same contract as the D3PM denoiser's remat, models/dit.py)."""
+    import dataclasses
+
+    cfg = _tiny_cfg("embedding")
+    m0 = GaussianDiffusionModel(cfg, dtype=jnp.float32)
+    m1 = GaussianDiffusionModel(
+        dataclasses.replace(cfg, remat=True), dtype=jnp.float32
+    )
+    rng = jax.random.PRNGKey(2)
+    params = m0.init(rng)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        m1.init(rng)
+    )
+    batch = _batch(rng)
+    g0 = jax.grad(lambda p: m0.loss(p, batch, rng)[0])(params)
+    g1 = jax.grad(lambda p: m1.loss(p, batch, rng)[0])(params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
+
+
 def test_gaussian_model_value_domain():
     m = GaussianDiffusionModel(_tiny_cfg("value"), dtype=jnp.float32)
     rng = jax.random.PRNGKey(1)

@@ -113,6 +113,11 @@ class Config(ConfigBase):
 
     diffusion_train_mode: str = "sampled"  # "sampled" | "all_t" (ref parity)
 
+    # per-block activation rematerialization during training (≡ the
+    # reference's always-on ``poor_in_vram`` checkpointing, base.py:228-232);
+    # lifts the trainable batch ceiling at ~1 extra forward of compute
+    gradient_checkpointing: bool = True
+
     # optional per-run hyperparameter overrides for get_model (e.g. tiny
     # smoke-test models: {d_model: 64, n_layers: 2})
     model_overrides: dict | None = None

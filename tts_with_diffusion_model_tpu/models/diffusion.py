@@ -53,6 +53,9 @@ class DiffusionConfig:
     tower_ffn_dim: int | None = None
     tower_act: str = "gelu"
     resp_pe: bool = True
+    # per-block gradient checkpointing in the denoiser (training memory
+    # lever; see models/dit.py) — wired from cfg.gradient_checkpointing
+    remat: bool = False
 
 
 class DiffusionModel:
@@ -76,6 +79,7 @@ class DiffusionModel:
             tower_ffn_dim=config.tower_ffn_dim,
             tower_act=config.tower_act,
             resp_pe=config.resp_pe,
+            remat=config.remat,
         )
         self.d3pm = D3PM.create(
             timesteps=config.timesteps,

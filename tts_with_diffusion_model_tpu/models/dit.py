@@ -236,6 +236,14 @@ class DiTDenoiser(nn.Module):
     tower_ffn_dim: int | None = None
     tower_act: str = "gelu"
     resp_pe: bool = True
+    # Per-block gradient checkpointing (≡ the reference backbone's
+    # ``poor_in_vram`` rematerialization, ``base.py:228-232``): backward
+    # recomputes each DiT block instead of storing its activations —
+    # trades ~1 extra forward for O(1-block) activation memory, lifting the
+    # trainable batch ceiling (B=96 OOMs without it).  Forward-only paths
+    # (sampling) are unaffected: ``jax.checkpoint`` is inert without
+    # differentiation.
+    remat: bool = False
 
     def setup(self):
         self.text_emb = nn.Embed(
@@ -264,8 +272,13 @@ class DiTDenoiser(nn.Module):
             self.d_model, self.n_heads, mlp_mult=3,
             ffn_dim=self.tower_ffn_dim, act=self.tower_act,
         )
+        Block = (
+            nn.remat(DiTBlock, methods=("apply_step",))
+            if self.remat
+            else DiTBlock
+        )
         self.blocks = [
-            DiTBlock(self.d_model, self.n_heads, name=f"dit_{i}")
+            Block(self.d_model, self.n_heads, name=f"dit_{i}")
             for i in range(self.n_layers)
         ]
         self.final = nn.Dense(

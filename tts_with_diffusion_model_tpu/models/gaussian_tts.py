@@ -57,6 +57,9 @@ class GaussianConfig:
     # only; see models/unet.py).
     denoiser: str = "dit"
     unet_channels: tuple = (64, 128, 256)
+    # per-block gradient checkpointing in the DiT stack (training memory
+    # lever; ≡ models/dit.py remat) — wired from cfg.gradient_checkpointing
+    remat: bool = False
 
 
 class GaussianDenoiser(nn.Module):
@@ -73,6 +76,7 @@ class GaussianDenoiser(nn.Module):
     timesteps: int
     unet_dims: tuple = ()
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @property
     def core_dim(self) -> int:
@@ -114,8 +118,9 @@ class GaussianDenoiser(nn.Module):
         self.prom_tower = CondTower(self.d_model, self.n_heads, mlp_mult=3)
         if self.unet_dims:
             self.cond_proj = nn.Dense(core)  # conditioning into the bottleneck
+        Block = nn.remat(DiTBlock) if self.remat else DiTBlock
         self.blocks = [
-            DiTBlock(core, self.n_heads, name=f"dit_{i}")
+            Block(core, self.n_heads, name=f"dit_{i}")
             for i in range(self.n_layers)
         ]
         self.out_proj = nn.Dense(self.in_dim, dtype=jnp.float32)
@@ -194,6 +199,7 @@ class GaussianDiffusionModel:
                 timesteps=config.timesteps,
                 unet_dims=tuple(config.unet_dims),
                 dtype=dtype,
+                remat=config.remat,
             )
         self.process = GaussianDiffusion.create(config.timesteps, config.schedule)
 

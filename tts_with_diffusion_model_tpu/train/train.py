@@ -28,6 +28,18 @@ from .engine import Engine
 _logger = logging.getLogger(__name__)
 
 
+def build_model(cfg: Config):
+    """Model from cfg, with the training-only diffusion knobs threaded in:
+    ``diffusion_train_mode`` ("sampled" | "all_t" reference parity) and
+    ``gradient_checkpointing`` (per-block remat).  Explicit
+    ``model_overrides`` win."""
+    overrides = dict(cfg.model_overrides or {})
+    if cfg.model.startswith("diffusion"):
+        overrides.setdefault("train_mode", cfg.diffusion_train_mode)
+        overrides.setdefault("remat", cfg.gradient_checkpointing)
+    return get_model(cfg.model, cfg.num_tokens, overrides)
+
+
 def make_bucket(cfg: Config, model) -> BucketSpec:
     c = getattr(model, "config", None)
     if c is not None and hasattr(c, "resp_len"):  # diffusion family models
@@ -115,7 +127,7 @@ def load_engines(cfg: Config | None = None):
     if cfg is None:
         cfg = Config.from_cli()
     init_distributed()
-    model = get_model(cfg.model, cfg.num_tokens, cfg.model_overrides)
+    model = build_model(cfg)
     bucket = make_bucket(cfg, model)
     rng = jax.random.PRNGKey(cfg.seed)
     params = init_params(cfg, model, bucket, rng)
@@ -148,7 +160,7 @@ def main(cfg: Config | None = None):
     _cfg_proxy.set(cfg)
     setup_logging(cfg.log_dir)
 
-    model = get_model(cfg.model, cfg.num_tokens, cfg.model_overrides)
+    model = build_model(cfg)
     bucket = make_bucket(cfg, model)
     train_dl, subtrain_dl, val_dl = create_train_val_dataloader(cfg, bucket)
 
