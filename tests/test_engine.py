@@ -130,6 +130,50 @@ def test_engine_multichip_dp_tp_mesh(tmp_path):
     assert "tp" in str(spec)
 
 
+def test_engine_zero1_optimizer_sharding(tmp_path):
+    """ZeRO-1 optimizer-state sharding: identical training trajectory to
+    the replicated engine, Adam moments physically sharded over dp (each
+    device holds 1/dp of the moment bytes), and checkpoint round-trip."""
+    assert len(jax.devices()) == 8
+    mesh = build_mesh(4, 2)
+    _, params, loss_fn, batch = make_tiny()
+    eng = Engine("model", params, loss_fn, OPT_CFG, tmp_path / "rep", mesh=mesh)
+    zng = Engine("model", params, loss_fn, OPT_CFG, tmp_path / "z1",
+                 mesh=mesh, zero1=True)
+    for i in range(3):
+        s0 = eng.train_batch(batch, jax.random.PRNGKey(i))
+        s1 = zng.train_batch(batch, jax.random.PRNGKey(i))
+        assert s1["model.loss"] == pytest.approx(s0["model.loss"], rel=1e-5)
+    for a, b in zip(jax.tree.leaves(eng.params), jax.tree.leaves(zng.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # moments are dp-sharded: some ≥1-d leaf's addressable shard is 1/4 of
+    # the full array, and the sharding spec names the dp axis
+    sharded = 0
+    for leaf in jax.tree.leaves(zng.opt_state):
+        if getattr(leaf, "ndim", 0) >= 1 and leaf.size > 1:
+            spec = str(leaf.sharding.spec)
+            if "dp" in spec:
+                shard = leaf.addressable_shards[0].data
+                assert shard.size * 4 == leaf.size, (leaf.shape, shard.shape)
+                sharded += 1
+    assert sharded > 0, "no optimizer moment was dp-sharded"
+    # while the baseline engine's moments are never dp-sharded (they may
+    # carry tp shardings inherited from the params they mirror)
+    for leaf in jax.tree.leaves(eng.opt_state):
+        if getattr(leaf, "ndim", 0) >= 1 and leaf.size > 1:
+            assert "dp" not in str(leaf.sharding.spec)
+
+    # checkpoint round-trip restores onto the zero1 shardings
+    zng.save_checkpoint()
+    zng2 = Engine("model", params, loss_fn, OPT_CFG, tmp_path / "z1",
+                  mesh=mesh, zero1=True)
+    assert zng2.load_checkpoint()
+    assert zng2.global_step == 3
+    s2 = zng2.train_batch(batch, jax.random.PRNGKey(99))
+    assert np.isfinite(s2["model.loss"])
+
+
 def test_engine_freeze_filter(tmp_path):
     """Frozen subtrees receive zero updates (≡ Engine.freeze, engines.py:25-34)."""
     _, params, loss_fn, batch = make_tiny()

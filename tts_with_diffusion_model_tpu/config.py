@@ -111,6 +111,13 @@ class Config(ConfigBase):
     mesh_dp: int = -1
     mesh_tp: int = 1
 
+    # ZeRO-1-style optimizer-state sharding over the dp axis (the reference
+    # disables DeepSpeed ZeRO, ``vall_e/train.py:23``; here it is a sharding
+    # annotation — Adam moments drop to 8/dp bytes per param, XLA inserts
+    # reduce-scatter + all-gather over ICI).  Off by default: it only pays
+    # when optimizer memory is the binding constraint.
+    zero1: bool = False
+
     diffusion_train_mode: str = "sampled"  # "sampled" | "all_t" (ref parity)
 
     # per-block activation rematerialization during training (≡ the

@@ -35,6 +35,7 @@ from ..parallel.mesh import (
     build_mesh,
     param_shardings,
     replicated,
+    zero1_shardings,
 )
 
 _logger = logging.getLogger(__name__)
@@ -109,6 +110,7 @@ class Engine:
         ckpt_root: Path,
         mesh=None,
         trainable_filter=None,
+        zero1: bool = False,
     ):
         self.name = name
         self.loss_fn = loss_fn
@@ -155,7 +157,18 @@ class Engine:
         # the mesh-reshape restore test).
         from jax.sharding import NamedSharding
 
-        if self.mesh.size > 1:
+        self._opt_shardings = None
+        if zero1 and self.mesh.shape.get("dp", 1) > 1:
+            # ZeRO-1: shard optimizer moments over the dp axis (the
+            # reference turns DeepSpeed ZeRO *off*, ``train.py:23`` — here
+            # it is one sharding annotation; see parallel/mesh.py).
+            self._opt_shardings = zero1_shardings(self.mesh, self.opt_state)
+            self.opt_state = jax.tree.map(
+                lambda x, s: jax.device_put(jnp.asarray(x), s),
+                self.opt_state,
+                self._opt_shardings,
+            )
+        elif self.mesh.size > 1:
             rep_sh = replicated(self.mesh)
             self.opt_state = jax.tree.map(
                 lambda x: x
@@ -181,6 +194,12 @@ class Engine:
             (loss, stats), grads = jax.value_and_grad(lfn, has_aux=True)(params)
             grad_norm = optax.global_norm(grads)
             updates, opt_state = self.tx.update(grads, opt_state, params)
+            if self._opt_shardings is not None:
+                # pin the ZeRO-1 layout so GSPMD keeps moments dp-sharded
+                # across steps instead of silently replicating them
+                opt_state = jax.lax.with_sharding_constraint(
+                    opt_state, self._opt_shardings
+                )
             params = optax.apply_updates(params, updates)
             stats = dict(stats)
             stats["grad_norm"] = grad_norm

@@ -149,6 +149,7 @@ def load_engines(cfg: Config | None = None):
             opt_cfg=opt_cfg,
             ckpt_root=cfg.ckpt_dir,
             mesh=mesh,
+            zero1=cfg.zero1,
         )
     )
     return trainer.load_engines(engines, cfg)
