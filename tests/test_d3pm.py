@@ -237,6 +237,14 @@ def test_remat_is_exact_and_train_knobs_are_wired():
                   model_overrides=dict(d_model=16, n_heads=2, n_layers=1))
     assert build_model(cfg2).config.remat is False
 
+    # use_fp16 selects the compute dtype (bf16 default, fp32 when off) and
+    # gradient_checkpointing reaches the AR/NAR family too
+    cfg3 = Config(model="ar-quarter", use_fp16=False,
+                  gradient_checkpointing=False)
+    m3 = build_model(cfg3)
+    assert m3.dtype == jnp.float32 and m3.remat is False
+    assert build_model(Config(model="ar-quarter")).dtype == jnp.bfloat16
+
 
 def test_structured_matches_dense_ops():
     """The closed-form structured path must agree with explicit dense

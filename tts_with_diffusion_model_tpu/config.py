@@ -62,6 +62,8 @@ def make_spkr_getter(spec: str):
 
 @dataclass(frozen=True)
 class Config(ConfigBase):
+    # kept for reference-YAML compatibility; unused in the reference's own
+    # committed code too (only a commented eval line, ``train.py:129``)
     data_root: Path = Path("data")
     data_dirs: list = field(default_factory=list)
 
@@ -83,6 +85,9 @@ class Config(ConfigBase):
     eval_batch_size: int = 32
     warmup_min_lr: float = 1e-9
     warmup_max_lr: float = 1e-5
+    # reference knob for GAN-discriminator engines (its multi-engine loop
+    # supports them, ``utils/engines.py:137-140``); dead in the reference's
+    # committed models too — kept for YAML compatibility
     dis_warmup_max_lr: float = 7e-5
     warmup_num_steps: int = 100
     max_iter: int = 1_000_000

@@ -16,15 +16,25 @@ from .diffusion import DiffusionConfig, DiffusionModel  # noqa: F401
 from .dit import DiTDenoiser  # noqa: F401
 
 
-def get_model(name: str, num_tokens: int = 1024, overrides: dict | None = None):
+def get_model(
+    name: str,
+    num_tokens: int = 1024,
+    overrides: dict | None = None,
+    dtype=None,
+):
     """Build a model from its registry name.
 
     ``overrides`` (optional) replaces individual hyperparameters — e.g.
     ``{"d_model": 64, "n_layers": 2}`` for tiny smoke-test models, or
-    ``{"timesteps": 50}`` for a faster diffusion sampler.
+    ``{"timesteps": 50}`` for a faster diffusion sampler.  ``dtype`` sets
+    the compute precision (default bf16; ``cfg.use_fp16: false`` selects
+    fp32 — the reference's fp16-toggle intent, ``vall_e/config.py:57-60``).
     """
+    import jax.numpy as jnp
+
     name = name.lower()
     ov = dict(overrides or {})
+    dtype = dtype if dtype is not None else jnp.bfloat16
 
     if name.startswith("diffusion-gaussian"):
         # The continuous-DDPM variant family the reference kept as snapshot
@@ -48,7 +58,7 @@ def get_model(name: str, num_tokens: int = 1024, overrides: dict | None = None):
         )
         valid = {f.name for f in dataclasses.fields(GaussianConfig)}
         cfg = dataclasses.replace(cfg, **{k: v for k, v in ov.items() if k in valid})
-        return GaussianDiffusionModel(cfg)
+        return GaussianDiffusionModel(cfg, dtype=dtype)
 
     if name.startswith("diffusion"):
         import dataclasses
@@ -62,7 +72,7 @@ def get_model(name: str, num_tokens: int = 1024, overrides: dict | None = None):
         )
         valid = {f.name for f in dataclasses.fields(DiffusionConfig)}
         cfg = dataclasses.replace(cfg, **{k: v for k, v in ov.items() if k in valid})
-        return DiffusionModel(cfg)
+        return DiffusionModel(cfg, dtype=dtype)
 
     if name.startswith("ar"):
         Model = AR
@@ -79,5 +89,8 @@ def get_model(name: str, num_tokens: int = 1024, overrides: dict | None = None):
         dims = dict(d_model=1024, n_heads=16, n_layers=12)
     else:
         raise NotImplementedError(name)
-    dims.update({k: v for k, v in ov.items() if k in ("d_model", "n_heads", "n_layers")})
-    return Model(num_tokens, **dims)
+    dims.update(
+        {k: v for k, v in ov.items()
+         if k in ("d_model", "n_heads", "n_layers", "remat")}
+    )
+    return Model(num_tokens, dtype=dtype, **dims)

@@ -29,15 +29,18 @@ _logger = logging.getLogger(__name__)
 
 
 def build_model(cfg: Config):
-    """Model from cfg, with the training-only diffusion knobs threaded in:
-    ``diffusion_train_mode`` ("sampled" | "all_t" reference parity) and
-    ``gradient_checkpointing`` (per-block remat).  Explicit
-    ``model_overrides`` win."""
+    """Model from cfg, with the training-only knobs threaded in:
+    ``diffusion_train_mode`` ("sampled" | "all_t" reference parity),
+    ``gradient_checkpointing`` (per-block remat), and ``use_fp16``
+    (bf16 compute on TPU when true — the default — else fp32,
+    ≡ the reference's fp16 toggle, ``vall_e/config.py:57-60``).
+    Explicit ``model_overrides`` win."""
     overrides = dict(cfg.model_overrides or {})
     if cfg.model.startswith("diffusion"):
         overrides.setdefault("train_mode", cfg.diffusion_train_mode)
-        overrides.setdefault("remat", cfg.gradient_checkpointing)
-    return get_model(cfg.model, cfg.num_tokens, overrides)
+    overrides.setdefault("remat", cfg.gradient_checkpointing)
+    dtype = jnp.bfloat16 if cfg.use_fp16 else jnp.float32
+    return get_model(cfg.model, cfg.num_tokens, overrides, dtype=dtype)
 
 
 def make_bucket(cfg: Config, model) -> BucketSpec:
