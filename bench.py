@@ -102,7 +102,7 @@ def main():
     # Serving configuration: tight 128-multiple generation bucket (384 for
     # gen_len 350 vs the model's 448) — bit-identical valid tokens, less
     # O(T^2) attention work per step (models/diffusion.py generate).
-    bucket = min(c.resp_len, -(-c.gen_len // 128) * 128)
+    bucket = c.serving_resp_bucket
     gen = jax.jit(
         lambda p, r: model.generate(p, text, tm, proms, pm, r,
                                     resp_bucket=bucket)
@@ -130,9 +130,16 @@ def main():
         gen(params, jax.random.PRNGKey(100 + i)).block_until_ready()
         lat.append(time.perf_counter() - t0)
     lat.sort()
-    p10 = lat[max(0, len(lat) // 10 - 0)]
-    p50 = lat[len(lat) // 2]
-    p90 = lat[min(len(lat) - 1, (len(lat) * 9) // 10)]
+
+    def pct(sorted_vals, q):
+        """Nearest-rank percentile: value at rank ceil(q·n), 1-indexed."""
+        import math
+
+        return sorted_vals[max(1, math.ceil(q * len(sorted_vals))) - 1]
+
+    p10 = pct(lat, 0.10)
+    p50 = pct(lat, 0.50)
+    p90 = pct(lat, 0.90)
     p50_tok_per_sec = c.gen_len / p50
 
     # Steady-state pipelined throughput: N launches, one sync.
@@ -160,7 +167,7 @@ def main():
         mg(params, jax.random.PRNGKey(400 + i)).block_until_ready()
         mg_lat.append(time.perf_counter() - t0)
     mg_lat.sort()
-    mg_p50 = mg_lat[len(mg_lat) // 2]
+    mg_p50 = pct(mg_lat, 0.50)
     t0 = time.perf_counter()
     outs = [mg(params, jax.random.PRNGKey(500 + i)) for i in range(N)]
     jax.block_until_ready(outs)

@@ -19,7 +19,7 @@ model = get_model("diffusion")
 c = model.config
 params, src = _load_trained_or_random(model, jax.random.PRNGKey(0))
 params = cast_params_bf16(params)
-bucket = min(c.resp_len, -(-c.gen_len // 128) * 128)
+bucket = c.serving_resp_bucket
 
 
 def run(B, label, fn_builder, N=16):

@@ -30,7 +30,7 @@ text = jnp.zeros((B, c.text_len), jnp.int32).at[:, :20].set(5)
 tm = (jnp.arange(c.text_len)[None] < 20).astype(jnp.float32)
 proms = jnp.zeros((B, c.prom_len, c.n_prom_levels), jnp.int32)
 pm = (jnp.arange(c.prom_len)[None] < 225).astype(jnp.float32)
-bucket = min(c.resp_len, -(-c.gen_len // 128) * 128)
+bucket = c.serving_resp_bucket
 
 
 def timeit(fn, label):

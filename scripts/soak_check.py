@@ -48,6 +48,7 @@ def check(log_dir: str, max_iter: int) -> dict:
     steps = [r["global_step"] for r in rows]
     assert max(steps) >= max_iter, f"did not reach max_iter: {max(steps)}"
     losses = [r["nll"] for r in rows if "nll" in r]
+    assert losses, "no 'nll' training rows found in the log"
     head = sum(losses[:50]) / len(losses[:50])
     tail = sum(losses[-50:]) / len(losses[-50:])
     assert tail < head, f"loss did not decrease across the soak: {head} -> {tail}"

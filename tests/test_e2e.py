@@ -71,6 +71,23 @@ def zoo(tmp_path_factory):
         phone_symmap, spkr_symmap,
     )
 
+    from tts_with_diffusion_model_tpu.models.gaussian_tts import (
+        GaussianConfig,
+        GaussianDiffusionModel,
+    )
+
+    gcfg = GaussianConfig(n_tokens=V, d_model=32, n_heads=4, n_layers=1,
+                          timesteps=6, resp_len=48, text_len=24, prom_len=32,
+                          gen_len=40)
+    gm = GaussianDiffusionModel(gcfg, dtype=jnp.float32)
+    save_bundle(
+        root / "gaussian", gm.init(rng),
+        {"model": "diffusion-gaussian", "num_tokens": V, "d_model": 32,
+         "n_heads": 4, "n_layers": 1, "timesteps": 6, "resp_len": 48,
+         "text_len": 24, "prom_len": 32, "gen_len": 40},
+        phone_symmap, spkr_symmap,
+    )
+
     # short reference wav (0.2 s) keeps codec encode cheap on CPU
     from tts_with_diffusion_model_tpu.audio.wavio import write_wav
 
@@ -186,6 +203,33 @@ def test_cli_ar_longform_auto_engages(zoo, monkeypatch, tmp_path):
 
     wav, sr = read_wav(out)
     assert sr == 24_000 and wav.shape[1] > 0
+
+
+def test_cli_gaussian_longform_auto_engages(zoo, monkeypatch, tmp_path):
+    """Gaussian bundles engage long-form past *their own* text bucket
+    (r3 review: the capacity check special-cased DiffusionModel, so a
+    Gaussian bundle with text_len=24 fell through to the 50-phone AR
+    bucket and silently truncated 25-50-phone texts to 24 phones)."""
+    from tts_with_diffusion_model_tpu.__main__ import main
+
+    out = tmp_path / "out_gauss_long.wav"
+    argv = [
+        "prog",
+        # ~40 phones: over the Gaussian bucket (24) but under the AR
+        # bucket (50) — exactly the range the bug silently truncated.
+        "I am here to make some noise and more noise",
+        str(zoo / "ref.wav"), str(out),
+        "--ar-ckpt", str(zoo / "gaussian"),
+        "--nar-ckpt", str(zoo / "nar"),
+        "--fp32",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    main()
+    from tts_with_diffusion_model_tpu.audio.wavio import read_wav
+
+    wav, sr = read_wav(out)
+    frames = wav.shape[1] // 320
+    assert frames >= 2 * 40 and frames % 40 == 0
 
 
 def test_bundle_roundtrip(zoo):

@@ -149,15 +149,21 @@ def test_engine_zero1_optimizer_sharding(tmp_path):
 
     # moments are dp-sharded: some ≥1-d leaf's addressable shard is 1/4 of
     # the full array, and the sharding spec names the dp axis
-    sharded = 0
+    sharded = both = 0
     for leaf in jax.tree.leaves(zng.opt_state):
         if getattr(leaf, "ndim", 0) >= 1 and leaf.size > 1:
             spec = str(leaf.sharding.spec)
             if "dp" in spec:
                 shard = leaf.addressable_shards[0].data
-                assert shard.size * 4 == leaf.size, (leaf.shape, shard.shape)
+                expect = 4 * (2 if "tp" in spec else 1)
+                assert shard.size * expect == leaf.size, (leaf.shape, spec)
                 sharded += 1
+            if "dp" in spec and "tp" in spec:
+                both += 1
     assert sharded > 0, "no optimizer moment was dp-sharded"
+    # moments that inherited a tp layout from their param keep it and gain
+    # dp on another axis (r3 review: zero1 must never *undo* tp sharding)
+    assert both > 0, "no moment is sharded over both dp and tp"
     # while the baseline engine's moments are never dp-sharded (they may
     # carry tp shardings inherited from the params they mirror)
     for leaf in jax.tree.leaves(eng.opt_state):

@@ -21,14 +21,22 @@ if not _os.environ.get("TTS_TPU_NO_COMPILE_CACHE"):
     try:
         import jax as _jax
 
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.environ.get(
+        # Respect a cache dir the embedding application configured before
+        # importing this package; otherwise prefer the env var, then a
+        # repo-local .jax_cache — but only if that location is writable
+        # (a pip install into read-only site-packages must not emit
+        # per-compile write warnings).
+        if not _jax.config.jax_compilation_cache_dir:
+            _dir = _os.environ.get(
                 "JAX_COMPILATION_CACHE_DIR",
                 _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
-            ),
-        )
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+            )
+            _parent = _os.path.dirname(_os.path.abspath(_dir))
+            if _os.access(_parent, _os.W_OK):
+                _jax.config.update("jax_compilation_cache_dir", _dir)
+                _jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 2
+                )
     except Exception:  # pragma: no cover — cache is best-effort
         pass
 

@@ -47,7 +47,7 @@ def first_stage_generate(meta, model, params, phn_ids, proms, rng, args):
         if isinstance(model, DiffusionModel):
             # D3PM-only knobs: skip-step stride and the tight generation
             # bucket (bit-identical valid tokens, less O(T^2) work).
-            bucket = min(c.resp_len, -(-c.gen_len // 128) * 128)
+            bucket = c.serving_resp_bucket
             if getattr(args, "decode", "ancestral") == "maskgit":
                 # Confidence-ordered parallel decoding: K denoiser
                 # evaluations total (vs 99 ancestral) — see
@@ -172,14 +172,18 @@ def main():
         raise SystemExit("No phones of the input text exist in the model's symmap.")
 
     from .models.diffusion import DiffusionModel
+    from .models.gaussian_tts import GaussianDiffusionModel
 
-    # Long-form capacity: a diffusion first stage has a hard text bucket;
-    # the AR stage is ragged but trained at ≤ max_phones (50 — the serving
-    # Synthesizer's text bucket), so both families chain segments past it
-    # instead of degrading/truncating (ADVICE r2: previously AR-bundle CLI
-    # runs never engaged long-form).
+    # Long-form capacity: a diffusion first stage (D3PM *or* Gaussian) has
+    # a hard text bucket; the AR stage is ragged but trained at ≤
+    # max_phones (50 — the serving Synthesizer's text bucket), so all
+    # families chain segments past it instead of degrading/truncating
+    # (ADVICE r2: previously AR-bundle CLI runs never engaged long-form;
+    # r3 review: Gaussian bundles fell through to the AR bucket and could
+    # silently truncate to their own smaller text_len).
     first_capacity = (
-        ar.config.text_len if isinstance(ar, DiffusionModel)
+        ar.config.text_len
+        if isinstance(ar, (DiffusionModel, GaussianDiffusionModel))
         else AR_TEXT_BUCKET
     )
     if args.segment_phones is not None or (

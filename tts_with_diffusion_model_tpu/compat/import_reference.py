@@ -22,6 +22,7 @@ classified by key shape (``blocks.0.attn.norm.emb.weight`` → NAR's AdaLN,
 from __future__ import annotations
 
 import argparse
+import pickle
 from pathlib import Path
 
 
@@ -38,9 +39,14 @@ def _load_torch_object(path: Path, allow_pickle: bool = False):
 
     from .reference import load_reference
 
+    if not Path(path).exists():  # a typo'd path must not read as "pickled"
+        raise SystemExit(f"Checkpoint not found: {path}")
     try:
         return torch.load(str(path), map_location="cpu", weights_only=True)
-    except Exception:  # noqa: BLE001 — fall through to the gated full load
+    except pickle.UnpicklingError:
+        # weights_only rejects non-tensor pickles with UnpicklingError —
+        # the signature of the reference's pickled-module export format.
+        # Anything else (corrupt file, I/O error) propagates as itself.
         pass
     if not allow_pickle:
         raise SystemExit(

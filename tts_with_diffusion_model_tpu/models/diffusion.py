@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..diffusion.d3pm import D3PM
-from ..utils.rng import as_row_keys, fold_rows, row_uniform
+from ..utils.rng import as_row_keys, fold_rows, row_gumbel, row_uniform
 from .dit import DiTDenoiser
 
 
@@ -56,6 +56,15 @@ class DiffusionConfig:
     # per-block gradient checkpointing in the denoiser (training memory
     # lever; see models/dit.py) — wired from cfg.gradient_checkpointing
     remat: bool = False
+
+    @property
+    def serving_resp_bucket(self) -> int:
+        """Tight serving bucket: the smallest 128-multiple covering
+        ``gen_len`` (384 for the production 350), capped at ``resp_len``.
+        Valid tokens are bit-identical to the full-bucket program (tested);
+        the shrunken sequence cuts the per-step O(T²) attention cost.  One
+        definition for every consumer (CLI, server, benchmarks)."""
+        return min(self.resp_len, -(-self.gen_len // 128) * 128)
 
 
 class DiffusionModel:
@@ -153,26 +162,21 @@ class DiffusionModel:
             # Reference-parity: every timestep 1..T-1 per batch
             # (``ar_discrete.py:651``), averaged (the reference's
             # ``/mask.sum()`` normalization is a quirk; mean is the intent).
-            if q_noise is not None:
-                def body(carry, inp):
-                    t_scalar, noise = inp
-                    t = jnp.full((B,), t_scalar, jnp.int32)
-                    return carry + ce_at_t(t, None, noise), None
+            # One scan body serves both noise sources: injected ``q_noise``
+            # (oracle parity) or per-step keys split from ``rng``.
+            noise_mode = q_noise is not None
+            xs = q_noise if noise_mode else jax.random.split(rng, T - 1)
 
-                total, _ = jax.lax.scan(
-                    body, jnp.float32(0.0), (jnp.arange(1, T), q_noise)
-                )
-            else:
-                rngs = jax.random.split(rng, T - 1)
+            def body(carry, inp):
+                t_scalar, aux = inp
+                t = jnp.full((B,), t_scalar, jnp.int32)
+                if noise_mode:
+                    return carry + ce_at_t(t, None, aux), None
+                return carry + ce_at_t(t, aux), None
 
-                def body(carry, inp):
-                    t_scalar, r = inp
-                    t = jnp.full((B,), t_scalar, jnp.int32)
-                    return carry + ce_at_t(t, r), None
-
-                total, _ = jax.lax.scan(
-                    body, jnp.float32(0.0), (jnp.arange(1, T), rngs)
-                )
+            total, _ = jax.lax.scan(
+                body, jnp.float32(0.0), (jnp.arange(1, T), xs)
+            )
             loss = total / (T - 1)
         else:
             rng_t, rng_n = jax.random.split(rng)
@@ -376,10 +380,7 @@ class DiffusionModel:
             # Two per-row noise draws, tagged by the step index so a row's
             # stream is independent of batch cohort and of K-invariant code
             # paths: token-sampling Gumbel and selection Gumbel.
-            g_tok = -jnp.log(-jnp.log(jnp.clip(
-                row_uniform(fold_rows(row_keys, 2 * i), logits.shape[1:]),
-                jnp.finfo(jnp.float32).tiny, 1.0,
-            )))
+            g_tok = row_gumbel(fold_rows(row_keys, 2 * i), logits.shape[1:])
             if temperature > 0:
                 sampled = jnp.argmax(logits / temperature + g_tok, axis=-1)
             else:
@@ -387,10 +388,7 @@ class DiffusionModel:
             sampled = sampled.astype(jnp.int32)
             logp = jax.nn.log_softmax(logits, axis=-1)
             conf = jnp.take_along_axis(logp, sampled[..., None], axis=-1)[..., 0]
-            g_sel = -jnp.log(-jnp.log(jnp.clip(
-                row_uniform(fold_rows(row_keys, 2 * i + 1), conf.shape[1:]),
-                jnp.finfo(jnp.float32).tiny, 1.0,
-            )))
+            g_sel = row_gumbel(fold_rows(row_keys, 2 * i + 1), conf.shape[1:])
             conf = conf + jnp.float32(choice_temperature) * ann * g_sel
             # already-committed tokens always stay; padding never selected
             conf = jnp.where(known, pos_inf, conf)

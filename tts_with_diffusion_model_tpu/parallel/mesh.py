@@ -80,24 +80,30 @@ def param_shardings(mesh: Mesh, params):
 
 
 def zero1_shardings(mesh: Mesh, opt_state):
-    """ZeRO-1-style shardings for an optax state tree: every array leaf is
-    sharded over the ``dp`` axis on its first evenly-divisible dimension
-    (scalars and ragged leaves replicate).
+    """ZeRO-1-style shardings for an optax state tree: every array leaf
+    gains a ``dp`` sharding on its first evenly-divisible *unsharded*
+    dimension, while axes already sharded (the tp layout Adam moments
+    inherit from the params they mirror) are kept — on a dp×tp mesh the
+    moments end up sharded over both axes, never worse than either alone.
+    Scalars and ragged leaves replicate over dp.
 
     The reference explicitly disables DeepSpeed ZeRO
     (``vall_e/train.py:23``); here optimizer-state sharding is a mesh
     annotation — XLA GSPMD turns the gradient all-reduce into
     reduce-scatter + sharded Adam math + an update all-gather, riding ICI.
-    Memory: Adam moments drop from 8 bytes/param to 8/dp.
+    Memory: Adam moments drop from 8 bytes/param to 8/dp (8/(dp·tp) where
+    tp already applied).
     """
     dp = mesh.shape.get("dp", 1)
 
     def leaf(x) -> NamedSharding:
         shape = getattr(x, "shape", ())
-        spec = [None] * len(shape)
+        cur = getattr(x, "sharding", None)
+        spec = list(cur.spec) if isinstance(cur, NamedSharding) else []
+        spec += [None] * (len(shape) - len(spec))
         if dp > 1:
             for i, d in enumerate(shape):
-                if d % dp == 0 and d > 0:
+                if spec[i] is None and d % dp == 0 and d > 0:
                     spec[i] = "dp"
                     break
         return NamedSharding(mesh, P(*spec))

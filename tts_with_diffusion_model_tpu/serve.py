@@ -141,11 +141,6 @@ class Synthesizer:
             # measured ~3× latency cut at stride=3 (PARITY.md) for a
             # quality trade the operator opts into.
             stride_v = max(1, int(stride))
-            # Tight generation bucket: smallest 128-multiple covering
-            # gen_len (384 vs the model's 448 at the reference config) —
-            # bit-identical valid tokens, ~25% less self-attention score
-            # work per step (model.generate docstring).
-            bucket_v = min(c.resp_len, -(-c.gen_len // 128) * 128)
             # D3PM-only knobs; the continuous Gaussian family samples its
             # full fixed schedule at the model bucket.  decode="maskgit"
             # swaps the 99-step ancestral chain for confidence-ordered
@@ -155,6 +150,11 @@ class Synthesizer:
             gen_kw = {}
             first_fn = self.first.generate
             if isinstance(self.first, DiffusionModel):
+                # Tight generation bucket: smallest 128-multiple covering
+                # gen_len (384 vs the model's 448 at the reference config)
+                # — bit-identical valid tokens, ~25% less self-attention
+                # score work per step (model.generate docstring).
+                bucket_v = c.serving_resp_bucket
                 if decode == "maskgit":
                     first_fn = self.first.generate_maskgit
                     gen_kw = dict(
@@ -659,6 +659,7 @@ def make_server(
                 self.send_error(404)
                 return
             t0 = time.monotonic()
+            recorded = False
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
@@ -667,6 +668,7 @@ def make_server(
                 )
                 body = wav_bytes(wav, sr)
                 stats.record(time.monotonic() - t0)
+                recorded = True
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(body)))
@@ -674,6 +676,10 @@ def make_server(
                 self.wfile.write(body)
             except Exception as e:  # noqa: BLE001
                 _logger.exception("tts request failed")
+                if recorded:
+                    # synthesis succeeded and was counted; the response
+                    # write failed (client gone) — don't double-record
+                    return
                 stats.record(time.monotonic() - t0, error=True)
                 body = json.dumps({"error": str(e)}).encode()
                 self.send_response(500)
