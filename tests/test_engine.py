@@ -180,6 +180,49 @@ def test_engine_zero1_optimizer_sharding(tmp_path):
     assert np.isfinite(s2["model.loss"])
 
 
+def test_engine_ema_params(tmp_path):
+    """EMA tracking: matches the closed-form recursion over the actual
+    param trajectory, checkpoints round-trip it, and toggling ema_decay
+    across a resume degrades gracefully in both directions."""
+    _, params, loss_fn, batch = make_tiny()
+    mesh1 = build_mesh(1, 1, jax.devices()[:1])
+    eng = Engine("model", params, loss_fn, OPT_CFG, tmp_path / "a",
+                 mesh=mesh1, ema_decay=0.9)
+
+    def leaf(tree):
+        return np.asarray(jax.tree.leaves(tree)[0], np.float64)
+
+    expected = leaf(eng.params)  # ema starts as a copy of params
+    for i in range(3):
+        eng.train_batch(batch, jax.random.PRNGKey(i))
+        expected = 0.9 * expected + 0.1 * leaf(eng.params)
+    np.testing.assert_allclose(leaf(eng.ema_params), expected, rtol=1e-5)
+    # the average genuinely lags the raw params
+    assert float(np.abs(leaf(eng.ema_params) - leaf(eng.params)).max()) > 0
+
+    eng.save_checkpoint()
+    eng2 = Engine("model", params, loss_fn, OPT_CFG, tmp_path / "a",
+                  mesh=mesh1, ema_decay=0.9)
+    assert eng2.load_checkpoint()
+    np.testing.assert_allclose(leaf(eng2.ema_params), leaf(eng.ema_params))
+
+    # ema checkpoint → non-ema engine: restores, discards the average
+    eng3 = Engine("model", params, loss_fn, OPT_CFG, tmp_path / "a",
+                  mesh=mesh1)
+    assert eng3.load_checkpoint()
+    assert eng3.ema_params is None
+    np.testing.assert_allclose(leaf(eng3.params), leaf(eng.params))
+
+    # non-ema checkpoint → ema engine: seeds the average from params
+    eng4 = Engine("model", params, loss_fn, OPT_CFG, tmp_path / "b", mesh=mesh1)
+    eng4.train_batch(batch, jax.random.PRNGKey(0))
+    eng4.save_checkpoint()
+    eng5 = Engine("model", params, loss_fn, OPT_CFG, tmp_path / "b",
+                  mesh=mesh1, ema_decay=0.9)
+    assert eng5.load_checkpoint()
+    np.testing.assert_allclose(leaf(eng5.ema_params), leaf(eng5.params))
+
+
 def test_engine_freeze_filter(tmp_path):
     """Frozen subtrees receive zero updates (≡ Engine.freeze, engines.py:25-34)."""
     _, params, loss_fn, batch = make_tiny()

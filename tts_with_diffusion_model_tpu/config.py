@@ -116,6 +116,11 @@ class Config(ConfigBase):
     mesh_dp: int = -1
     mesh_tp: int = 1
 
+    # Exponential moving average of parameters (e.g. 0.999), a diffusion
+    # training staple the reference lacks; the averaged weights ride along
+    # in checkpoints and export with `export --ema`.  None = off.
+    ema_decay: float | None = None
+
     # ZeRO-1-style optimizer-state sharding over the dp axis (the reference
     # disables DeepSpeed ZeRO, ``vall_e/train.py:23``; here it is a sharding
     # annotation — Adam moments drop to 8/dp bytes per param, XLA inserts

@@ -79,11 +79,25 @@ def main():
 
     parser = argparse.ArgumentParser("Save trained model to path.")
     parser.add_argument("path", type=Path)
+    parser.add_argument(
+        "--ema", action="store_true",
+        help="export the EMA-averaged weights (requires training with "
+             "ema_decay set; typically better sample quality)",
+    )
     args = parser.parse_args()
     from .train.train import load_engines
 
     engines = load_engines(cfg)
     engine = engines["model"]
+
+    params = engine.params
+    if args.ema:
+        if engine.ema_params is None:
+            raise SystemExit(
+                "--ema requires a run trained with ema_decay set "
+                "(the checkpoint carries no averaged weights)"
+            )
+        params = engine.ema_params
 
     train_dataset, _ = create_datasets(cfg)
     meta = {
@@ -91,13 +105,14 @@ def main():
         "num_tokens": cfg.num_tokens,
         "step": engine.global_step,
         "cfg_name": cfg.cfg_name,
+        "weights": "ema" if args.ema else "raw",
         # carry any architecture overrides so the CLI rebuilds the exact
         # trained architecture (see __main__.build_model)
         **(cfg.model_overrides or {}),
     }
     save_bundle(
         args.path,
-        engine.params,
+        params,
         meta,
         train_dataset.phone_symmap,
         train_dataset.spkr_symmap,

@@ -111,6 +111,7 @@ class Engine:
         mesh=None,
         trainable_filter=None,
         zero1: bool = False,
+        ema_decay: float | None = None,
     ):
         self.name = name
         self.loss_fn = loss_fn
@@ -183,10 +184,18 @@ class Engine:
             )
         self.step = 0
 
+        # Exponential moving average of params (diffusion-training staple
+        # the reference lacks; sample from `ema_params` via export --ema).
+        # Updated inside the jitted step — no extra host round-trip.
+        self.ema_decay = ema_decay
+        self.ema_params = (
+            jax.tree.map(jnp.copy, self.params) if ema_decay else None
+        )
+
         bsh = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
 
-        def train_step(params, opt_state, batch, rng):
+        def train_step(params, opt_state, ema, batch, rng):
             def lfn(p):
                 loss, stats = self.loss_fn(p, batch, rng)
                 return loss, stats
@@ -201,13 +210,20 @@ class Engine:
                     opt_state, self._opt_shardings
                 )
             params = optax.apply_updates(params, updates)
+            if self.ema_decay:  # static at trace time
+                d = jnp.float32(self.ema_decay)
+                ema = jax.tree.map(
+                    lambda e, p: (d * e + (1.0 - d) * p).astype(e.dtype),
+                    ema,
+                    params,
+                )
             stats = dict(stats)
             stats["grad_norm"] = grad_norm
-            return params, opt_state, loss, stats
+            return params, opt_state, ema, loss, stats
 
         self._train_step = jax.jit(
             train_step,
-            donate_argnums=(0, 1),
+            donate_argnums=(0, 1, 2),
         )
         self._bsh = bsh
         self._rep = rep
@@ -231,8 +247,10 @@ class Engine:
             if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1
         }
         with self.mesh:
-            self.params, self.opt_state, loss, stats = self._train_step(
-                self.params, self.opt_state, arrays, rng
+            (
+                self.params, self.opt_state, self.ema_params, loss, stats,
+            ) = self._train_step(
+                self.params, self.opt_state, self.ema_params, arrays, rng
             )
         self.step += 1
         out = {f"{self.name}.loss": loss, "lr": self.lr()}
@@ -271,16 +289,15 @@ class Engine:
         import orbax.checkpoint as ocp
 
         path = (self._ckpt_dir() / f"step_{self.step:08d}").absolute()
+        state = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "step": self.step,
+        }
+        if self.ema_params is not None:
+            state["ema_params"] = self.ema_params
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(
-                path,
-                {
-                    "params": self.params,
-                    "opt_state": self.opt_state,
-                    "step": self.step,
-                },
-                force=True,
-            )
+            ckptr.save(path, state, force=True)
         _logger.info(f"Saved checkpoint {path}")
         # retention: keep the newest ``keep`` complete step dirs (in-flight
         # ``*.orbax-checkpoint-tmp`` dirs are not checkpoints)
@@ -324,10 +341,34 @@ class Engine:
             "opt_state": self.opt_state,
             "step": self.step,
         }
+        if self.ema_params is not None:
+            target["ema_params"] = self.ema_params
         with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(path, target)
+            try:
+                restored = ckptr.restore(path, target)
+            except Exception:
+                # ema presence mismatch between engine and checkpoint
+                # (ema_decay toggled between runs): retry the other shape.
+                if self.ema_params is not None:
+                    # checkpoint predates ema: restore without, then seed
+                    # the average from the restored params
+                    del target["ema_params"]
+                    restored = ckptr.restore(path, target)
+                    restored["ema_params"] = jax.tree.map(
+                        jnp.copy, restored["params"]
+                    )
+                    _logger.warning(
+                        "Checkpoint has no ema_params; seeding EMA from params"
+                    )
+                else:
+                    # checkpoint carries ema the engine doesn't track:
+                    # restore it into a params-shaped slot and discard
+                    target["ema_params"] = self.params
+                    restored = ckptr.restore(path, target)
+                    restored.pop("ema_params")
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
+        self.ema_params = restored.get("ema_params", self.ema_params)
         self.step = int(restored["step"])
         _logger.info(f"Restored checkpoint {path} (step {self.step})")
         return True

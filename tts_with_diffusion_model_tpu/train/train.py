@@ -153,6 +153,7 @@ def load_engines(cfg: Config | None = None):
             ckpt_root=cfg.ckpt_dir,
             mesh=mesh,
             zero1=cfg.zero1,
+            ema_decay=cfg.ema_decay,
         )
     )
     return trainer.load_engines(engines, cfg)
