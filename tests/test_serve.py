@@ -124,6 +124,56 @@ def test_http_api(zoo, synth):
         server.shutdown()
 
 
+def test_graceful_drain_finishes_inflight_request(zoo, synth):
+    """drain() (the SIGTERM path) stops accepting but completes in-flight
+    requests — the response arrives whole, serve_forever returns, and the
+    port is released (handler threads are joined, not daemon-killed)."""
+    import time
+
+    from tts_with_diffusion_model_tpu.serve import make_server
+
+    started = threading.Event()
+    orig = synth.synthesize
+
+    def slow(*a, **k):
+        started.set()
+        time.sleep(0.5)  # hold the request in flight across the drain
+        return orig(*a, **k)
+
+    # patch BEFORE make_server: the handler binds synth.synthesize then
+    synth.synthesize = slow
+    server = make_server(synth, "127.0.0.1", 0)
+    port = server.server_address[1]
+    loop = threading.Thread(target=server.serve_forever, daemon=True)
+    loop.start()
+    result = {}
+
+    def call():
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        body = json.dumps(
+            {"text": "make some noise", "reference": str(zoo / "ref.wav")}
+        )
+        conn.request("POST", "/tts", body=body)
+        r = conn.getresponse()
+        result["status"] = r.status
+        result["bytes"] = r.read()
+
+    t = threading.Thread(target=call)
+    t.start()
+    try:
+        assert started.wait(timeout=60), "request never reached the synth"
+        server.drain()  # what the SIGTERM handler sequences
+        t.join(timeout=120)
+        assert result.get("status") == 200
+        with wave.open(io.BytesIO(result["bytes"])) as f:
+            assert f.getnframes() > 0
+        loop.join(timeout=10)
+        assert not loop.is_alive(), "serve_forever did not return"
+    finally:
+        synth.synthesize = orig
+        t.join(timeout=5)
+
+
 def test_synthesize_batch_multi_request(zoo):
     """max_batch=2: one device batch serves two requests; padding rows are
     discarded; each request gets its own wav."""

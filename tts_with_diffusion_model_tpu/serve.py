@@ -734,7 +734,26 @@ def make_server(
                 _logger.exception("tts_stream aborted mid-stream")
                 self.close_connection = True
 
-    return ThreadingHTTPServer((host, port), Handler)
+    return DrainingHTTPServer((host, port), Handler)
+
+
+class DrainingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that finishes in-flight requests on shutdown.
+
+    stdlib's ``ThreadingHTTPServer`` runs handlers on daemon threads, so a
+    process exit mid-request drops the response on the floor.  Here handler
+    threads are joined by ``server_close()`` (non-daemon +
+    ``block_on_close``), which ``drain()`` sequences after stopping the
+    accept loop — the graceful-termination contract a load balancer
+    expects on SIGTERM."""
+
+    daemon_threads = False
+    block_on_close = True
+
+    def drain(self):
+        """Stop accepting, wait for in-flight handlers, release the port."""
+        self.shutdown()      # stops serve_forever (idempotent)
+        self.server_close()  # joins handler threads, closes the socket
 
 
 def main():
@@ -784,7 +803,21 @@ def main():
         f"Serving on http://{args.host}:{args.port} "
         f"(max_batch={args.max_batch})"
     )
+
+    # Graceful drain on SIGTERM/SIGINT: stop accepting, finish in-flight
+    # requests, then exit 0 (shutdown() must run off the signal frame —
+    # it blocks until serve_forever returns).
+    import signal
+
+    def _drain(signum, _frame):
+        _logger.info("signal %d: draining in-flight requests", signum)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
+    signal.signal(signal.SIGINT, _drain)
     server.serve_forever()
+    server.server_close()  # joins in-flight handler threads
+    _logger.info("drained; exiting")
 
 
 if __name__ == "__main__":
