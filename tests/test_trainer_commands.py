@@ -90,6 +90,34 @@ def test_pre_loop_quit(monkeypatch):
     assert eng.steps == 0
 
 
+def test_profile_every_captures_traces(monkeypatch, tmp_path):
+    """cfg.profile_every wires StepProfiler into the loop: trace dirs
+    appear under log_dir/profile/step_<N> on the cadence, and an in-flight
+    capture is closed on exit (no dangling jax profiler session)."""
+    eng = FakeEngines()
+    eng.cfg.max_iter = 5
+    eng.cfg.profile_every = 2
+    eng.cfg.profile_n_steps = 1
+    eng.cfg.log_dir = tmp_path
+    monkeypatch.setattr(trainer, "_non_blocking_input", lambda: "")
+    trainer.train(
+        engines_loader=lambda: eng,
+        train_dl=iter(lambda: {"x": 1}, None),
+        eval_fn=lambda engines: None,
+    )
+    captured = sorted(p.name for p in (tmp_path / "profile").iterdir())
+    assert captured == ["step_2", "step_4"]
+    # each capture produced actual profiler output
+    for d in captured:
+        assert any((tmp_path / "profile" / d).rglob("*")), d
+    # a second run in the same process must be able to start a new trace
+    # (close() released the profiler when the loop exited)
+    import jax
+
+    jax.profiler.start_trace(str(tmp_path / "again"))
+    jax.profiler.stop_trace()
+
+
 def test_periodic_checkpoint_cadence(monkeypatch):
     eng = FakeEngines()
     eng.cfg.max_iter = 7

@@ -116,6 +116,12 @@ class Config(ConfigBase):
     mesh_dp: int = -1
     mesh_tp: int = 1
 
+    # Periodic jax.profiler trace capture (SURVEY §5.1): every N steps,
+    # record `profile_n_steps` steps of device trace under
+    # log_dir/profile/step_<N> (view in XProf/Perfetto).  None = off.
+    profile_every: int | None = None
+    profile_n_steps: int = 3
+
     # Exponential moving average of parameters (e.g. 0.999), a diffusion
     # training staple the reference lacks; the averaged weights ride along
     # in checkpoints and export with `export --ema`.  None = off.

@@ -158,6 +158,18 @@ def train(
     ckpt_period = cfg.save_ckpt_every or cfg.eval_every
     step_seconds = 0.0
 
+    # Periodic device-trace capture (cfg.profile_every, SURVEY §5.1) —
+    # leader-only, like the reference's opt-in Diagnostic.
+    prof = None
+    if getattr(cfg, "profile_every", None) and is_global_leader():
+        from ..utils.profiling import StepProfiler
+
+        prof = StepProfiler(
+            cfg.log_dir,
+            every=cfg.profile_every,
+            n_steps=getattr(cfg, "profile_n_steps", 3),
+        )
+
     def report_eta(spec: str) -> None:
         # "time" → ETA to max_iter; "time to N" → ETA to step N.
         horizon = cfg.max_iter
@@ -183,12 +195,18 @@ def train(
         final = getattr(engines, "flush_stats", lambda: None)()
         if final:
             logger(data=final)
+        if prof is not None:
+            prof.close()
 
     for batch in _make_infinite_epochs(train_dl):
         if engines.global_step >= cfg.max_iter:
             break
 
+        if prof is not None:
+            prof.maybe_start(engines.global_step + 1)
         stats = engines.step(batch=batch)
+        if prof is not None:
+            prof.maybe_stop(engines.global_step)
         step_seconds = stats.get("elapsed_time", 0)
         logger(data=stats)
 

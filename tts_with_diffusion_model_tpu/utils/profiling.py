@@ -64,3 +64,9 @@ class StepProfiler:
         if self._active_until is not None and step + 1 >= self._active_until:
             jax.profiler.stop_trace()
             self._active_until = None
+
+    def close(self):
+        """Finish any in-flight capture (loop exited mid-window)."""
+        if self._active_until is not None:
+            jax.profiler.stop_trace()
+            self._active_until = None
