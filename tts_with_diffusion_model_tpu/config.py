@@ -126,6 +126,8 @@ class Config(ConfigBase):
     # training staple the reference lacks; the averaged weights ride along
     # in checkpoints and export with `export --ema`.  None = off.
     ema_decay: float | None = None
+    # evaluate the EMA weights instead of the raw ones (requires ema_decay)
+    eval_use_ema: bool = False
 
     # ZeRO-1-style optimizer-state sharding over the dp axis (the reference
     # disables DeepSpeed ZeRO, ``vall_e/train.py:23``; here it is a sharding

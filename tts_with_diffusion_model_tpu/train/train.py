@@ -169,6 +169,13 @@ def main(cfg: Config | None = None):
     bucket = make_bucket(cfg, model)
     train_dl, subtrain_dl, val_dl = create_train_val_dataloader(cfg, bucket)
 
+    def eval_params(engine):
+        """The weights eval runs with: the EMA average when
+        ``eval_use_ema`` is set and tracked, else the raw params."""
+        if cfg.eval_use_ema and engine.ema_params is not None:
+            return engine.ema_params
+        return engine.params
+
     def decode_eval_audio(engines, name, batch):
         """Hyp/ref wav dumps (≡ the disabled eval body, ``train.py:90-145``):
         generate with the current model, EnCodec-decode both hypothesis and
@@ -178,6 +185,7 @@ def main(cfg: Config | None = None):
         from ..emb import qnt
 
         engine = engines["model"]
+        params = eval_params(engine)
         rng = jax.random.PRNGKey(engines.global_step)
         out_root = Path(cfg.log_dir) / str(engines.global_step) / name
 
@@ -185,7 +193,7 @@ def main(cfg: Config | None = None):
             from ..models.ar import ar_generate
 
             toks, lens = ar_generate(
-                model, engine.params, jnp.asarray(batch["text"]),
+                model, params, jnp.asarray(batch["text"]),
                 jnp.asarray(batch["text_mask"]), jnp.asarray(batch["proms"]),
                 jnp.asarray(batch["prom_mask"]), rng,
                 max_steps=cfg.max_val_ar_steps,
@@ -197,7 +205,7 @@ def main(cfg: Config | None = None):
             from ..models.nar import nar_generate
 
             out = nar_generate(
-                model, engine.params, jnp.asarray(batch["text"]),
+                model, params, jnp.asarray(batch["text"]),
                 jnp.asarray(batch["text_mask"]), jnp.asarray(batch["proms"]),
                 jnp.asarray(batch["prom_mask"]),
                 jnp.asarray(batch["resp"], jnp.int32),
@@ -210,7 +218,7 @@ def main(cfg: Config | None = None):
             ]
         else:  # diffusion family
             out = model.generate(
-                engine.params, jnp.asarray(batch["text"]),
+                params, jnp.asarray(batch["text"]),
                 jnp.asarray(batch["text_mask"]), jnp.asarray(batch["proms"]),
                 jnp.asarray(batch["prom_mask"]), rng,
             )
@@ -243,7 +251,7 @@ def main(cfg: Config | None = None):
             arrays = {
                 k: v for k, v in batch.items() if isinstance(v, np.ndarray)
             }
-            loss, _ = loss_fn(engine.params, arrays, rng)
+            loss, _ = loss_fn(eval_params(engine), arrays, rng)
             losses.append(float(loss))
             if first_batch is None:
                 first_batch = batch
