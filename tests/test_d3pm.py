@@ -246,6 +246,18 @@ def test_remat_is_exact_and_train_knobs_are_wired():
     assert build_model(Config(model="ar-quarter")).dtype == jnp.bfloat16
 
 
+def test_serving_resp_bucket_property():
+    """One definition of the tight serving bucket for every consumer
+    (serve, CLI, bench): smallest 128-multiple covering gen_len, capped
+    at resp_len."""
+    from tts_with_diffusion_model_tpu.models.diffusion import DiffusionConfig
+
+    assert DiffusionConfig().serving_resp_bucket == 384  # 350 → 384 < 448
+    assert DiffusionConfig(resp_len=448, gen_len=400).serving_resp_bucket == 448
+    assert DiffusionConfig(resp_len=48, gen_len=40).serving_resp_bucket == 48
+    assert DiffusionConfig(resp_len=512, gen_len=128).serving_resp_bucket == 128
+
+
 def test_structured_matches_dense_ops():
     """The closed-form structured path must agree with explicit dense
     matrices for both transition families."""

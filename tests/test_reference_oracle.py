@@ -719,6 +719,32 @@ def test_d3pm_all_t_composite_training_loss_parity(ref_d3pm):
     assert abs(my_sum - ref_sum) / ref_sum < 2e-2, (my_sum, ref_sum)
 
 
+def test_import_reference_error_paths(tmp_path):
+    """A typo'd path must surface as 'not found' — not as advice to enable
+    --allow-pickle (r3 review: the bare except steered users toward
+    arbitrary-code unpickling for files that didn't exist).  A corrupt
+    file opted into --allow-pickle surfaces the real unpickling error
+    rather than being swallowed."""
+    import pickle as _pickle
+
+    from tts_with_diffusion_model_tpu.compat.import_reference import (
+        _load_torch_object,
+    )
+
+    with pytest.raises(SystemExit, match="not found"):
+        _load_torch_object(tmp_path / "nope.pt")
+
+    bad = tmp_path / "corrupt.pt"
+    bad.write_bytes(b"\x00\x01 this is not a torch file")
+    # torch reports every weights_only failure as UnpicklingError, so
+    # without the opt-in this reads as the pickled-export format...
+    with pytest.raises(SystemExit, match="allow-pickle"):
+        _load_torch_object(bad)
+    # ...and with it, the operator sees the genuine corruption error.
+    with pytest.raises(_pickle.UnpicklingError):
+        _load_torch_object(bad, allow_pickle=True)
+
+
 def test_import_reference_pickled_checkpoint(ref, tmp_path):
     """The migration CLI (compat/import_reference.py) converts the
     reference's pickled export format (whole module + stapled symmaps,
