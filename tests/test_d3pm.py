@@ -295,6 +295,56 @@ def test_structured_matches_dense_ops():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_randomized_algebra_sweep():
+    """Randomized property sweep over the full (schedule × transition)
+    grid with varied vocab/horizon: cumulative mats equal the explicit
+    one-step products, every operator row stays stochastic, and the
+    posterior matches an independent numpy oracle at random (t, x0, xt).
+    Fixed seeds — the point is breadth across configurations, not flake."""
+    rng = np.random.default_rng(7)
+    for schedule in ("cosine", "linear", "vpsde"):
+        for transition in ("absorbing", "uniform"):
+            for Vv, Tt in ((11, 6), (23, 13)):
+                d = D3PM.create(timesteps=Tt, num_classes=Vv,
+                                schedule=schedule, transition=transition)
+                tag = f"{schedule}/{transition}/V={Vv},T={Tt}"
+                q1 = np.asarray(d.q_onestep_mats, np.float64)
+                qm = np.asarray(d.q_mats, np.float64)
+                np.testing.assert_allclose(
+                    q1.sum(2), 1.0, atol=1e-5, err_msg=tag)
+                np.testing.assert_allclose(
+                    qm.sum(2), 1.0, atol=1e-4, err_msg=tag)
+                # cumulative = running product, checked at a random t
+                t_chk = int(rng.integers(1, Tt))
+                prod = q1[0]
+                for i in range(1, t_chk + 1):
+                    prod = prod @ q1[i]
+                np.testing.assert_allclose(
+                    qm[t_chk], prod, atol=1e-4, err_msg=tag)
+                # posterior oracle at random positions
+                t = int(rng.integers(1, Tt))
+                x0 = rng.integers(0, Vv, (1, 3))
+                xt = rng.integers(0, Vv, (1, 3))
+                got = np.asarray(d.q_posterior_logits(
+                    jnp.asarray(x0), jnp.asarray(xt), jnp.array([t]),
+                    x_start_logits=False,
+                ))
+                for w in range(3):
+                    expect = (
+                        np.log(q1[t].T[xt[0, w]] + d.eps)
+                        + np.log(qm[t - 1][x0[0, w]] + d.eps)
+                    )
+                    np.testing.assert_allclose(
+                        got[0, w], expect, atol=1e-3, err_msg=tag)
+                # interval diagonal ≡ ratio of cumulative diagonals
+                s_i = int(rng.integers(0, Tt - 1))
+                t_i = int(rng.integers(s_i + 1, Tt))
+                diag = float(d._interval_diag(jnp.array(s_i), jnp.array(t_i)))
+                cd = np.asarray(d.cum_diag, np.float64)
+                np.testing.assert_allclose(
+                    diag, cd[t_i] / cd[s_i], atol=1e-4, err_msg=tag)
+
+
 def test_full_size_create_is_fast():
     """Production-size construction (V=1025, T=100) must be milliseconds —
     the closed form replaces the reference's 100 cumulative 1025² matmuls."""
