@@ -63,6 +63,10 @@ min_phones: 3
 mesh_tp: 1
 log_root: $WORK/logs
 ckpt_root: $WORK/ckpts
+# exercise the round-3 training features under the kill/resume story:
+# EMA rides checkpoints across the SIGKILL; remat is the default already
+ema_decay: 0.999
+eval_use_ema: false
 EOF
 
 LOG_DIR="$WORK/logs/tts_soak/soak"
