@@ -386,6 +386,30 @@ def test_checkpoint_restore_across_mesh_reshape(tmp_path):
     assert back.step == 3
     assert_tree_equal(host(back.params), host(dst.params))
 
+    # zero1 across a mesh reshape: the dp-sharded moment layout differs
+    # per topology, so the restore must re-shard onto the new mesh's
+    # zero1 shardings — and keep training
+    z_src = Engine("model", params, loss_fn, OPT_CFG, tmp_path / "z",
+                   mesh=build_mesh(8, 1), zero1=True, ema_decay=0.9)
+    for i in range(2):
+        z_src.train_batch(batch, jax.random.PRNGKey(i))
+    z_src.save_checkpoint()
+    z_dst = Engine("model", params, loss_fn, OPT_CFG, tmp_path / "z",
+                   mesh=build_mesh(4, 2), zero1=True, ema_decay=0.9)
+    assert z_dst.load_checkpoint()
+    assert z_dst.step == 2
+    assert_tree_equal(host(z_dst.params), host(z_src.params))
+    assert_tree_equal(host(z_dst.ema_params), host(z_src.ema_params))
+    assert_tree_equal(host(z_dst.opt_state), host(z_src.opt_state))
+    sharded = sum(
+        1 for leaf in jax.tree.leaves(z_dst.opt_state)
+        if getattr(leaf, "ndim", 0) >= 1 and "dp" in str(leaf.sharding.spec)
+    )
+    assert sharded > 0  # restored onto the new mesh's zero1 layout
+    s1 = z_dst.train_batch(batch, jax.random.PRNGKey(9))
+    s0 = z_src.train_batch(batch, jax.random.PRNGKey(9))
+    assert s1["model.loss"] == pytest.approx(s0["model.loss"], rel=1e-5)
+
 
 def test_resume_skips_incomplete_checkpoint(tmp_path):
     """A SIGKILL mid-save leaves an *.orbax-checkpoint-tmp directory;
