@@ -232,6 +232,30 @@ def test_cli_gaussian_longform_auto_engages(zoo, monkeypatch, tmp_path):
     assert frames >= 2 * 40 and frames % 40 == 0
 
 
+def test_cli_speculative_decoding_greedy_identical(zoo, monkeypatch, tmp_path):
+    """--draft-ckpt at --temperature 0 produces byte-identical audio to
+    the plain greedy run (speculative greedy exactness, end-to-end through
+    the real CLI; the draft here is the target bundle itself — the
+    all-accept path)."""
+    base = _run_cli(zoo, monkeypatch, tmp_path, "ar",
+                    extra=("--temperature", "0"))
+    base_bytes = base.read_bytes()
+    spec = tmp_path / "out_spec.wav"
+    import sys as _sys
+
+    from tts_with_diffusion_model_tpu.__main__ import main
+
+    argv = [
+        "prog", "I am here", str(zoo / "ref.wav"), str(spec),
+        "--ar-ckpt", str(zoo / "ar"), "--nar-ckpt", str(zoo / "nar"),
+        "--max-ar-steps", "6", "--temperature", "0",
+        "--draft-ckpt", str(zoo / "ar"), "--spec-k", "3",
+    ]
+    monkeypatch.setattr(_sys, "argv", argv)
+    main()
+    assert spec.read_bytes() == base_bytes
+
+
 def test_bundle_roundtrip(zoo):
     params, meta, phone_symmap, spkr_symmap = load_bundle(zoo / "ar")
     assert meta["model"] == "ar"

@@ -72,6 +72,28 @@ def first_stage_generate(meta, model, params, phn_ids, proms, rng, args):
     tm = np.ones((1, Tt), np.float32)
     pr = np.asarray(proms, np.int32)[None]
     pm = np.ones((1, Tp), np.float32)
+    if getattr(args, "draft_ckpt", None):
+        # Speculative decoding: the draft proposes --spec-k tokens per
+        # round, the target verifies them in one cached forward.  At
+        # --temperature 0 the output is token-identical to the target's
+        # own greedy decode (models/ar.py ar_generate_speculative).
+        from .export import load_bundle
+        from .models.ar import ar_generate_speculative
+        from .utils.precision import cast_params_bf16
+
+        d_params, d_meta, _, _ = load_bundle(args.draft_ckpt)
+        draft = build_model(d_meta)
+        if not isinstance(draft, type(model)):
+            raise SystemExit("--draft-ckpt must be an AR bundle")
+        if not args.fp32:
+            d_params = cast_params_bf16(d_params)
+        tokens, lengths = ar_generate_speculative(
+            model, params, draft, d_params,
+            jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
+            jnp.asarray(pm), rng, max_steps=args.max_ar_steps,
+            k=max(1, args.spec_k), sampling_temperature=args.temperature,
+        )
+        return np.asarray(tokens[0, : int(lengths[0])])
     tokens, lengths = ar_generate(
         model, params, jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
         jnp.asarray(pm), rng, max_steps=args.max_ar_steps,
@@ -153,6 +175,18 @@ def main():
         help="force long-form synthesis with this per-segment phone budget "
              "(long-form engages automatically when the text exceeds a "
              "diffusion first stage's text bucket)",
+    )
+    parser.add_argument(
+        "--draft-ckpt", type=Path, default=None,
+        help="AR bundle used as the speculative-decoding draft: it "
+             "proposes --spec-k tokens per round, the target verifies "
+             "them in one forward.  At --temperature 0 the output is "
+             "token-identical to the target's own greedy decode "
+             "(AR first stages only)",
+    )
+    parser.add_argument(
+        "--spec-k", type=int, default=4,
+        help="draft proposals per speculative round (--draft-ckpt)",
     )
     args = parser.parse_args()
 

@@ -187,6 +187,27 @@ class Attention(nn.Module):
         o = o.reshape(*o.shape[:-2], self.d_model)
         return self.to_out(o), cache_k, cache_v
 
+    def decode_chunk(self, x_chunk, cache_k, cache_v, index, kv_mask):
+        """Multi-token cached decode (the speculative verify step).
+
+        x_chunk: (B, W, D) teacher-forced tokens written at slots
+        index..index+W-1; kv_mask: (B, Tc) valid entries incl. the W new
+        ones.  Queries attend to valid cache entries at slots ≤ their own
+        (causal within the chunk, everything valid before it).
+        Returns (out (B, W, D), cache_k, cache_v)."""
+        W = x_chunk.shape[1]
+        q, k, v = jnp.split(self.to_qkv(x_chunk), 3, axis=-1)
+        q, k, v = self._heads(q), self._heads(k), self._heads(v)
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k, index, axis=1)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v, index, axis=1)
+        Tc = cache_k.shape[1]
+        slot = jnp.arange(Tc)[None, None, :]                  # (1, 1, Tc)
+        qslot = (index + jnp.arange(W))[None, :, None]        # (1, W, 1)
+        pair = kv_mask[:, None, :] * (slot <= qslot).astype(kv_mask.dtype)
+        o = dense_attention(q, cache_k, cache_v, pair_mask=pair)
+        o = o.reshape(*o.shape[:-2], self.d_model)
+        return self.to_out(o), cache_k, cache_v
+
 
 class FeedForward(nn.Module):
     d_model: int
@@ -276,6 +297,16 @@ class PrenormBlock(nn.Module):
         h = self._norm("ffn", x_step, level)
         x_step = x_step + self.ffn(h, True)
         return x_step, cache_k, cache_v
+
+    def decode_chunk(self, x_chunk, cache_k, cache_v, index, kv_mask, level):
+        h = self._norm("attn", x_chunk, level)
+        h, cache_k, cache_v = self.attn.decode_chunk(
+            h, cache_k, cache_v, index, kv_mask
+        )
+        x_chunk = x_chunk + h
+        h = self._norm("ffn", x_chunk, level)
+        x_chunk = x_chunk + self.ffn(h, True)
+        return x_chunk, cache_k, cache_v
 
 
 def packed_layout(text_mask, prom_mask, resp_mask):
@@ -486,6 +517,44 @@ class Base(nn.Module):
             "mask": kv_mask,
             "index": index + 1,
             "pos": cache["pos"] + 1,
+        }
+        return logits, new_cache
+
+    def decode_chunk(self, tokens: jax.Array, pos0: jax.Array, cache: dict):
+        """Teacher-forced multi-token decode — the speculative verify step.
+
+        tokens: (B, W) resp tokens fed at once; row b's token j sits at
+        packed position ``pos0[b] + j`` and cache slot ``index + j``.
+        Returns (logits (B, W, V), new cache): ``logits[:, j]`` is the
+        next-token distribution after feeding ``tokens[:, : j + 1]`` —
+        exactly what the speculative acceptance rule needs.  All W slots
+        are marked valid here; the caller re-masks rejected ones
+        (``models/ar.py mask_slots``)."""
+        B, W = tokens.shape
+        emb = self.resps_emb.weight[0, tokens]  # (B, W, D)
+        pos = pos0[:, None] + jnp.arange(W)[None, :]
+        emb = emb + sinusoidal_embedding(pos, self.d_model)
+        x = emb.astype(self.dtype)
+
+        index = cache["index"]
+        kv_mask = jax.lax.dynamic_update_slice(
+            cache["mask"], jnp.ones((B, W), cache["mask"].dtype), (0, index)
+        )
+        level = jnp.zeros((B,), dtype=jnp.int32)
+        new_k, new_v = [], []
+        for i, block in enumerate(self.blocks):
+            x, ck, cv = block.decode_chunk(
+                x, cache["k"][i], cache["v"][i], index, kv_mask, level
+            )
+            new_k.append(ck)
+            new_v.append(cv)
+        logits = self.classifier(x.astype(jnp.float32))  # (B, W, V)
+        new_cache = {
+            "k": jnp.stack(new_k),
+            "v": jnp.stack(new_v),
+            "mask": kv_mask,
+            "index": index + W,
+            "pos": cache["pos"] + W,
         }
         return logits, new_cache
 
