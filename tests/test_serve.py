@@ -64,6 +64,23 @@ def synth(zoo):
     )
 
 
+def test_serving_speculative_greedy_matches_plain(zoo):
+    """A Synthesizer with draft_ckpt at temperature 0 returns the same
+    audio as the plain greedy Synthesizer (speculative exactness through
+    the serving runtime; the draft is the target bundle itself)."""
+    from tts_with_diffusion_model_tpu.serve import Synthesizer
+
+    plain = Synthesizer(zoo / "ar", zoo / "nar", text_len=24, prom_len=24,
+                        max_ar_steps=8, bf16=False, temperature=0.0)
+    spec = Synthesizer(zoo / "ar", zoo / "nar", text_len=24, prom_len=24,
+                       max_ar_steps=8, bf16=False, temperature=0.0,
+                       draft_ckpt=zoo / "ar", spec_k=3)
+    w0, sr0 = plain.synthesize("make some noise", zoo / "ref.wav", seed=5)
+    w1, sr1 = spec.synthesize("make some noise", zoo / "ref.wav", seed=5)
+    assert sr0 == sr1
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+
+
 def test_synthesize_returns_wav(zoo, synth):
     wav, sr = synth.synthesize("make some noise", zoo / "ref.wav", seed=1)
     assert sr == 24_000

@@ -78,6 +78,8 @@ class Synthesizer:
         mesh_tp: int = 1,
         decode: str = "ancestral",
         maskgit_steps: int = 12,
+        draft_ckpt: str | Path | None = None,
+        spec_k: int = 4,
     ):
         from .__main__ import build_model
         from .codec.encodec import load_codec
@@ -91,6 +93,27 @@ class Synthesizer:
         if bf16:
             self.first_params = cast_params_bf16(self.first_params)
             self.nar_params = cast_params_bf16(self.nar_params)
+
+        # Speculative decoding for AR first stages: a small draft bundle
+        # proposes spec_k tokens/round, the target verifies them in one
+        # forward (models/ar.py ar_generate_speculative; exact vs the
+        # target's greedy decode at temperature 0).
+        self.draft = self.draft_params = None
+        self.spec_k = max(1, int(spec_k))
+        if draft_ckpt is not None:
+            from .models.ar import AR as _AR
+
+            self.draft_params, d_meta, _, _ = load_bundle(draft_ckpt)
+            self.draft = build_model(d_meta)
+            if not isinstance(self.draft, _AR) or not isinstance(
+                self.first, _AR
+            ):
+                raise ValueError(
+                    "draft_ckpt requires AR bundles for both draft and "
+                    "first stage"
+                )
+            if bf16:
+                self.draft_params = cast_params_bf16(self.draft_params)
 
         # Tensor-parallel serving: shard attention heads / MLP hidden /
         # vocab over a 1×tp mesh (same logical annotations the trainer
@@ -323,11 +346,22 @@ class Synthesizer:
                 n_resp = self.gen_len
                 lens = [self.gen_len] * pad_to
             else:
-                toks, lens_a = ar_generate(
-                    self.first, self.first_params, text_a, text_m, prom_a,
-                    prom_m, r1, max_steps=self.max_ar_steps,
-                    sampling_temperature=self.temperature,
-                )
+                if self.draft is not None:
+                    from .models.ar import ar_generate_speculative
+
+                    toks, lens_a = ar_generate_speculative(
+                        self.first, self.first_params,
+                        self.draft, self.draft_params,
+                        text_a, text_m, prom_a, prom_m, r1,
+                        max_steps=self.max_ar_steps, k=self.spec_k,
+                        sampling_temperature=self.temperature,
+                    )
+                else:
+                    toks, lens_a = ar_generate(
+                        self.first, self.first_params, text_a, text_m,
+                        prom_a, prom_m, r1, max_steps=self.max_ar_steps,
+                        sampling_temperature=self.temperature,
+                    )
                 n_resp = self.max_ar_steps  # static bucket; mask below
                 lens = [max(int(n), 1) for n in np.asarray(lens_a)]
                 lvl0 = np.zeros((pad_to, n_resp), np.int32)
@@ -783,6 +817,12 @@ def main():
                              "evaluations (D3PM bundles only)")
     parser.add_argument("--maskgit-steps", type=int, default=12,
                         help="denoiser evaluations for --decode maskgit")
+    parser.add_argument("--draft-ckpt", type=Path, default=None,
+                        help="AR draft bundle for speculative decoding "
+                             "(AR first stages; exact greedy at "
+                             "--temperature 0)")
+    parser.add_argument("--spec-k", type=int, default=4,
+                        help="draft proposals per speculative round")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -792,6 +832,7 @@ def main():
         nar_temperature=args.nar_temperature, stride=args.stride,
         mesh_tp=args.mesh_tp, decode=args.decode,
         maskgit_steps=args.maskgit_steps,
+        draft_ckpt=args.draft_ckpt, spec_k=args.spec_k,
     )
     if args.warmup_reference:
         synth.warmup(args.warmup_reference)
