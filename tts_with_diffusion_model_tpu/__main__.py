@@ -85,6 +85,11 @@ def first_stage_generate(meta, model, params, phn_ids, proms, rng, args):
         draft = build_model(d_meta)
         if not isinstance(draft, type(model)):
             raise SystemExit("--draft-ckpt must be an AR bundle")
+        if draft.n_tokens != model.n_tokens:
+            raise SystemExit(
+                f"--draft-ckpt vocab ({draft.n_tokens}) must match the "
+                f"target's ({model.n_tokens})"
+            )
         if not args.fp32:
             d_params = cast_params_bf16(d_params)
         tokens, lengths = ar_generate_speculative(

@@ -112,6 +112,11 @@ class Synthesizer:
                     "draft_ckpt requires AR bundles for both draft and "
                     "first stage"
                 )
+            if self.draft.n_tokens != self.first.n_tokens:
+                raise ValueError(
+                    f"draft vocab ({self.draft.n_tokens}) must match the "
+                    f"target's ({self.first.n_tokens})"
+                )
             if bf16:
                 self.draft_params = cast_params_bf16(self.draft_params)
 
