@@ -141,6 +141,65 @@ def test_http_api(zoo, synth):
         server.shutdown()
 
 
+def test_overload_sheds_with_503(zoo, synth):
+    """max_pending=1: a second concurrent request is shed fast with
+    503 + Retry-After while the first completes normally; the slot is
+    released afterwards (a third request succeeds) and /stats counts the
+    rejection separately from errors."""
+    import time
+
+    from tts_with_diffusion_model_tpu.serve import make_server
+
+    started = threading.Event()
+    release = threading.Event()
+    orig = synth.synthesize
+
+    def slow(*a, **k):
+        started.set()
+        release.wait(timeout=60)
+        return orig(*a, **k)
+
+    synth.synthesize = slow
+    server = make_server(synth, "127.0.0.1", 0, max_pending=1)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    body = json.dumps(
+        {"text": "make some noise", "reference": str(zoo / "ref.wav")}
+    )
+
+    res = {}
+
+    def call(tag):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/tts", body=body)
+        r = conn.getresponse()
+        res[tag] = (r.status, r.read(), dict(r.getheaders()))
+
+    t1 = threading.Thread(target=call, args=("a",))
+    t1.start()
+    try:
+        assert started.wait(timeout=60)
+        call("b")  # while "a" holds the only slot
+        assert res["b"][0] == 503
+        assert json.loads(res["b"][1])["error"] == "overloaded"
+        assert res["b"][2].get("Retry-After") == "1"
+        release.set()
+        t1.join(timeout=120)
+        assert res["a"][0] == 200
+        # slot released: a fresh request succeeds
+        call("c")
+        assert res["c"][0] == 200
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/stats")
+        snap = json.loads(conn.getresponse().read())
+        assert snap["rejected"] == 1
+        assert snap["errors"] == 0 and snap["requests"] == 2
+    finally:
+        release.set()
+        synth.synthesize = orig
+        server.shutdown()
+
+
 def test_graceful_drain_finishes_inflight_request(zoo, synth):
     """drain() (the SIGTERM path) stops accepting but completes in-flight
     requests — the response arrives whole, serve_forever returns, and the

@@ -594,6 +594,7 @@ class ServerStats:
         self.requests = 0
         self.errors = 0
         self.streams = 0
+        self.rejected = 0
         self.batches = 0
         self.batched_rows = 0
         self._lat_ms: list[float] = []
@@ -615,6 +616,12 @@ class ServerStats:
             self.batches += 1
             self.batched_rows += n_rows
 
+    def record_rejected(self):
+        """Load-shed (503): counted separately — rejections are not
+        errors and must not pollute the latency percentiles."""
+        with self._lock:
+            self.rejected += 1
+
     def snapshot(self) -> dict:
         with self._lock:
             lat = sorted(self._lat_ms)
@@ -626,6 +633,7 @@ class ServerStats:
                 "uptime_s": round(time.time() - self._t0, 1),
                 "requests": self.requests,
                 "errors": self.errors,
+                "rejected": self.rejected,
                 "streams": self.streams,
                 "latency_ms": {"p50": pct(0.5), "p90": pct(0.9),
                                "p99": pct(0.99), "n": len(lat)},
@@ -653,12 +661,20 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 8400,
     batcher: Batcher | None = None,
+    max_pending: int | None = 64,
 ):
     submit = batcher.submit if batcher is not None else synth.synthesize
     submit_row = batcher.submit_row if batcher is not None else None
     stats = ServerStats()
     if batcher is not None:
         batcher.stats = stats
+    # Admission control: at most max_pending requests in flight/queued
+    # across both endpoints; excess load sheds fast with 503 + Retry-After
+    # instead of queueing unboundedly behind the single accelerator.
+    admit = (
+        threading.Semaphore(max_pending)
+        if max_pending and max_pending > 0 else None
+    )
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 is required for Transfer-Encoding: chunked on
@@ -690,13 +706,44 @@ def make_server(
             self.end_headers()
             self.wfile.write(body)
 
+        def _try_admit(self) -> bool:
+            """Bounded admission; sheds with 503 + Retry-After when full."""
+            if admit is None or admit.acquire(blocking=False):
+                return True
+            stats.record_rejected()
+            body = json.dumps(
+                {"error": "overloaded", "retry_after_s": 1}
+            ).encode()
+            self.send_response(503)
+            self.send_header("Retry-After", "1")
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return False
+
         def do_POST(self):
             if self.path == "/tts_stream":
-                self._tts_stream()
+                if not self._try_admit():
+                    return
+                try:
+                    self._tts_stream()
+                finally:
+                    if admit is not None:
+                        admit.release()
                 return
             if self.path != "/tts":
                 self.send_error(404)
                 return
+            if not self._try_admit():
+                return
+            try:
+                self._tts()
+            finally:
+                if admit is not None:
+                    admit.release()
+
+        def _tts(self):
             t0 = time.monotonic()
             recorded = False
             try:
@@ -828,6 +875,10 @@ def main():
                              "--temperature 0)")
     parser.add_argument("--spec-k", type=int, default=4,
                         help="draft proposals per speculative round")
+    parser.add_argument("--max-pending", type=int, default=64,
+                        help="admission bound: requests beyond this many "
+                             "in flight are shed with 503 + Retry-After "
+                             "(0 = unlimited)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -844,7 +895,8 @@ def main():
     batcher = (
         Batcher(synth, args.batch_window_ms) if args.max_batch > 1 else None
     )
-    server = make_server(synth, args.host, args.port, batcher)
+    server = make_server(synth, args.host, args.port, batcher,
+                         max_pending=args.max_pending)
     _logger.info(
         f"Serving on http://{args.host}:{args.port} "
         f"(max_batch={args.max_batch})"
