@@ -244,6 +244,8 @@ def main():
             stride=args.stride,
             decode=args.decode,
             maskgit_steps=args.maskgit_steps,
+            draft_ckpt=args.draft_ckpt,
+            spec_k=args.spec_k,
         )
         wav, sr = synthesize_long(
             synth, args.text, args.reference, seed=args.seed,
