@@ -42,8 +42,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--runs", type=int, default=5)
     parser.add_argument(
-        "--stages", default="d3pm,ar,nar,codec,e2e",
-        help="comma-separated subset: d3pm,ar,nar,codec,e2e",
+        "--stages", default="d3pm,ar,nar,codec,e2e,e2e_fused",
+        help="comma-separated subset: d3pm,ar,nar,codec,e2e,e2e_fused,train",
     )
     parser.add_argument(
         "--bf16", action="store_true",
@@ -82,7 +82,7 @@ def main():
     a_pm = jnp.ones((1, Tp), jnp.float32)
 
     dm = d_params = None
-    if {"d3pm", "d3pm_batch", "e2e"} & stages:
+    if {"d3pm", "d3pm_batch", "e2e", "e2e_fused"} & stages:
         dm = get_model("diffusion")
         c = dm.config
         d_params = dm.init(rng)
@@ -153,7 +153,7 @@ def main():
 
     nar = n_params = None
     n_rm = jnp.ones((1, Tr), jnp.float32)
-    if {"nar", "e2e"} & stages:
+    if {"nar", "e2e", "e2e_fused"} & stages:
         nar = get_model("nar-half")
         n_resps = jnp.zeros((1, Tr, 8), jnp.int32)
         n_params = nar.init(
@@ -213,7 +213,7 @@ def main():
         results["d3pm_train_utts_per_sec"] = B / dt
 
     codec = None
-    if {"codec", "e2e"} & stages:
+    if {"codec", "e2e", "e2e_fused"} & stages:
         codec = Codec()
     audio_sec = Tr * HOP / 24_000
 
@@ -243,6 +243,25 @@ def main():
 
         wav, dt = timed(full, args.runs, rng)
         results["e2e_text_to_wav_p50_ms"] = dt * 1e3
+        results["e2e_audio_seconds"] = audio_sec
+
+    if "e2e_fused" in stages:
+        # The serving runtime's one-dispatch program (serve.Synthesizer
+        # _fused_synth): diffusion first stage → 7 NAR levels → codec
+        # decode compiled as ONE XLA program, one host sync per call.
+        def fused(p_d, p_n, p_c, r):
+            r1, r2 = jax.random.split(r)
+            toks = dm.generate(p_d, text, tm, proms, pm, r1)[:, :Tr]
+            cc = nar_generate(nar, p_n, a_text, a_tm, a_pr, a_pm,
+                              jnp.asarray(toks, jnp.int32), n_rm, r2)
+            wav = codec.model.apply(p_c, jnp.moveaxis(cc, 2, 1),
+                                    method=type(codec.model).decode)
+            return wav[:, : Tr * HOP, 0]
+
+        fused_j = jax.jit(fused)
+        wav, dt = timed(fused_j, args.runs, d_params, n_params,
+                        codec.params, rng)
+        results["e2e_fused_text_to_wav_p50_ms"] = dt * 1e3
         results["e2e_audio_seconds"] = audio_sec
 
     baselines = {

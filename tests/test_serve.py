@@ -631,3 +631,134 @@ def test_maskgit_decode_serving_path(zoo, tmp_path_factory):
     anc = Synthesizer(root / "diffusion", zoo / "nar", bf16=False)
     anc_codes = anc.synthesize_codes_batch([rows[0]], [seeds[0]])[0]
     assert not np.array_equal(anc_codes[:, 0], together[0][:, 0])
+
+
+def test_fused_one_dispatch_synthesis_matches_staged(zoo, tmp_path_factory):
+    """Diffusion synthesis runs first stage → NAR levels → codec decode in
+    ONE compiled program (``Synthesizer._fused_synth``) — the per-call
+    latency fix for the ~3 host syncs the staged path paid.  The fused
+    codes must equal composing the stage functions by hand (the former
+    staged path), and the in-graph decoded wav must match decoding the
+    codes through the standalone codec program."""
+    from tts_with_diffusion_model_tpu.export import save_bundle
+    from tts_with_diffusion_model_tpu.models.diffusion import (
+        DiffusionConfig,
+        DiffusionModel,
+    )
+    from tts_with_diffusion_model_tpu.models.nar import nar_generate
+    from tts_with_diffusion_model_tpu.serve import Synthesizer
+    from tts_with_diffusion_model_tpu.utils.rng import (
+        fold_rows,
+        row_keys_from_seeds,
+    )
+
+    root = tmp_path_factory.mktemp("serve_zoo_fused")
+    phone_symmap = {p: i for i, p in enumerate(
+        ["<s>", "</s>", "_", "M", "EY1", "K", "S", "AH1", "N", "OY1", "Z",
+         "T", "EH1", "W", "AO1", "R", "HH", "IY1", "UW1", "AY1", "D"], 1)}
+    dcfg = DiffusionConfig(n_classes=V + 1, d_model=16, n_heads=2,
+                           n_layers=1, timesteps=4, resp_len=12,
+                           text_len=16, prom_len=10, gen_len=8)
+    dm = DiffusionModel(dcfg, dtype=jnp.float32)
+    d_params = dm.init(jax.random.PRNGKey(0))
+    save_bundle(root / "diffusion", d_params,
+                {"model": "diffusion", "num_tokens": V, "d_model": 16,
+                 "n_heads": 2, "n_layers": 1, "timesteps": 4,
+                 "resp_len": 12, "text_len": 16, "prom_len": 10,
+                 "gen_len": 8}, phone_symmap, {"ref": 0})
+
+    synth = Synthesizer(root / "diffusion", zoo / "nar", bf16=False)
+    row = synth._prepare("make some noise", zoo / "ref.wav")
+    seed = 7
+
+    codes, wavs = synth._device_batch([row], [seed], want_wav=True)
+    assert wavs is not None and len(wavs) == 1
+
+    # codes-only fused variant agrees with the wav-inclusive one
+    codes_only = synth.synthesize_codes_batch([row], [seed])
+    np.testing.assert_array_equal(codes[0], codes_only[0])
+
+    # hand-staged path: first stage then NAR, separately dispatched
+    row_keys = row_keys_from_seeds([seed])
+    r1, r2 = fold_rows(row_keys, 0), fold_rows(row_keys, 1)
+    text_a = jnp.asarray(row["text"])
+    text_m = jnp.asarray(row["text_mask"])
+    pb = synth.PROM_BUCKET
+    prom_a = jnp.asarray(row["proms"])[:, :pb]
+    prom_m = jnp.asarray(row["prom_mask"])[:, :pb]
+    toks = synth._first_gen(
+        synth.first_params, text_a, text_m, prom_a, prom_m, r1
+    )[:, : synth.gen_len]
+    rm = jnp.ones((1, synth.gen_len), jnp.float32)
+    staged = nar_generate(
+        synth.nar, synth.nar_params, text_a, text_m, prom_a, prom_m,
+        toks, rm, r2, sampling_temperature=synth.nar_temperature,
+    )
+    np.testing.assert_array_equal(codes[0], np.asarray(staged)[0])
+
+    # in-graph decode ≡ standalone codec decode of the same codes
+    wav_staged, sr = synth.decode_codes(codes[0])
+    assert sr == synth.sample_rate
+    assert wavs[0].shape == wav_staged.shape
+    np.testing.assert_allclose(wavs[0], wav_staged, atol=1e-5, rtol=0)
+
+    # the public API returns the fused wav
+    wav_api, sr_api = synth.synthesize("make some noise", zoo / "ref.wav",
+                                       seed=seed)
+    assert sr_api == sr
+    np.testing.assert_array_equal(wav_api, wavs[0])
+
+
+def test_batcher_mixed_wav_and_codes_traffic(zoo, tmp_path_factory):
+    """A cohort mixing direct requests (want wav) and long-form segment
+    rows (codes only) runs the decode-inclusive program once; each caller
+    gets its kind of result and codes stay cohort-independent."""
+    from tts_with_diffusion_model_tpu.export import save_bundle
+    from tts_with_diffusion_model_tpu.models.diffusion import (
+        DiffusionConfig,
+        DiffusionModel,
+    )
+    from tts_with_diffusion_model_tpu.serve import Batcher, Synthesizer
+
+    root = tmp_path_factory.mktemp("serve_zoo_mix")
+    phone_symmap = {p: i for i, p in enumerate(
+        ["<s>", "</s>", "_", "M", "EY1", "K", "S", "AH1", "N", "OY1", "Z",
+         "T", "EH1", "W", "AO1", "R", "HH", "IY1", "UW1", "AY1", "D"], 1)}
+    dcfg = DiffusionConfig(n_classes=V + 1, d_model=16, n_heads=2,
+                           n_layers=1, timesteps=4, resp_len=12,
+                           text_len=16, prom_len=10, gen_len=8)
+    dm = DiffusionModel(dcfg, dtype=jnp.float32)
+    d_params = dm.init(jax.random.PRNGKey(0))
+    save_bundle(root / "diffusion", d_params,
+                {"model": "diffusion", "num_tokens": V, "d_model": 16,
+                 "n_heads": 2, "n_layers": 1, "timesteps": 4,
+                 "resp_len": 12, "text_len": 16, "prom_len": 10,
+                 "gen_len": 8}, phone_symmap, {"ref": 0})
+
+    synth = Synthesizer(root / "diffusion", zoo / "nar", bf16=False,
+                        max_batch=4)
+    batcher = Batcher(synth, window_ms=60)
+
+    results = {}
+
+    def direct():
+        results["wav"] = batcher.submit("make some noise", zoo / "ref.wav",
+                                        seed=11)
+
+    def segment():
+        row = synth._prepare("say it", zoo / "ref.wav")
+        results["codes"] = batcher.submit_row(row, 22)
+
+    t1 = threading.Thread(target=direct)
+    t2 = threading.Thread(target=segment)
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    wav, sr = results["wav"]
+    assert sr == synth.sample_rate and wav.ndim == 1 and len(wav) > 0
+    solo = synth.synthesize_codes_batch(
+        [synth._prepare("say it", zoo / "ref.wav")], [22]
+    )[0]
+    np.testing.assert_array_equal(results["codes"], solo)
+    wav_solo, _ = synth.synthesize("make some noise", zoo / "ref.wav",
+                                   seed=11)
+    np.testing.assert_array_equal(wav, wav_solo)

@@ -159,6 +159,7 @@ class Synthesizer:
         self.is_diffusion = isinstance(
             self.first, (DiffusionModel, GaussianDiffusionModel)
         )
+        self._fused_synth = None
         if self.is_diffusion:
             c = self.first.config
             self.text_len, self.prom_len, self.gen_len = (
@@ -216,6 +217,48 @@ class Synthesizer:
                 return first_fn(p, t, tm, pr, pm, r, **gen_kw)
 
             self._first_gen = jax.jit(first_gen)
+
+            # Fused one-dispatch synthesis: first stage → 7 NAR levels →
+            # codec decode inside ONE compiled program.  The staged path
+            # host-syncs three times per request (first-stage fetch, NAR
+            # fetch, decode fetch) — at the measured ~30-40 ms dispatch
+            # round-trip that dominates per-call latency once the device
+            # work is tens of ms (PARITY.md).  Diffusion first stages have
+            # a static generation length, so the whole chain is one static
+            # program; AR stays staged (dynamic lengths).  ``want_wav`` is
+            # a static switch: segment traffic (long-form/streaming) needs
+            # only codes and skips the in-graph decode.
+            from .codec.encodec import HOP as _HOP
+            from .codec.encodec import EncodecModel as _Codec
+            from .models.nar import nar_generate as _nar_generate
+
+            gen_len_v = self.gen_len
+            d_bucket = max(
+                1, -(-gen_len_v // self.DECODE_BUCKET)
+            ) * self.DECODE_BUCKET
+
+            def fused_synth(fp, nparams, cparams, t, tm, pr, pm, r1, r2,
+                            want_wav):
+                toks = first_gen(fp, t, tm, pr, pm, r1)[:, :gen_len_v]
+                B = t.shape[0]
+                rm = jnp.ones((B, gen_len_v), jnp.float32)
+                codes = _nar_generate(
+                    self.nar, nparams, t, tm, pr, pm, toks, rm, r2,
+                    sampling_temperature=self.nar_temperature,
+                )  # (B, gen_len, 8)
+                if not want_wav:
+                    return codes, None
+                padded = jnp.zeros((B, d_bucket, 8), jnp.int32)
+                padded = padded.at[:, :gen_len_v].set(codes)
+                wav = self.codec.model.apply(
+                    cparams, jnp.transpose(padded, (0, 2, 1)),
+                    method=_Codec.decode,
+                )  # (B, T, 1), causal: padded tail trims exactly
+                return codes, wav[:, : gen_len_v * _HOP, 0]
+
+            self._fused_synth = jax.jit(
+                fused_synth, static_argnames=("want_wav",)
+            )
 
     # ---------------- request path ----------------
 
@@ -299,7 +342,14 @@ class Synthesizer:
         self, prepared: list[dict], seeds: list[int]
     ) -> list[np.ndarray]:
         """Run the device stages on up to ``max_batch`` prepared rows →
-        per-request (t, 8) codec codes (no waveform decode).
+        per-request (t, 8) codec codes (no waveform decode)."""
+        return self._device_batch(prepared, seeds, want_wav=False)[0]
+
+    def _device_batch(
+        self, prepared: list[dict], seeds: list[int], want_wav: bool = False
+    ) -> tuple[list[np.ndarray], list[np.ndarray] | None]:
+        """Device stages for a cohort → (per-request (t, 8) codes,
+        per-request wav float32 or None).
 
         ``seeds`` carries one request seed per row; each row's sampling
         noise derives only from its own seed (per-row keys + per-stage
@@ -342,14 +392,22 @@ class Synthesizer:
         r1 = fold_rows(row_keys, 0)  # first stage (AR / diffusion)
         r2 = fold_rows(row_keys, 1)  # NAR stage
 
+        wavs = None
         with self._lock:
             if self.is_diffusion:
-                toks = self._first_gen(
-                    self.first_params, text_a, text_m, prom_a, prom_m, r1
-                )[:, : self.gen_len]
-                lvl0 = np.asarray(toks, np.int32)
-                n_resp = self.gen_len
-                lens = [self.gen_len] * pad_to
+                # One program runs first stage + NAR levels (+ decode when
+                # wav is wanted): a single host sync per cohort instead of
+                # three (see the fused_synth note in __init__).
+                codes_d, wav_d = self._fused_synth(
+                    self.first_params, self.nar_params, self.codec.params,
+                    text_a, text_m, prom_a, prom_m, r1, r2,
+                    want_wav=bool(want_wav),
+                )
+                codes = np.asarray(codes_d)
+                if wav_d is not None:
+                    w = np.asarray(wav_d)
+                    wavs = [w[i] for i in range(n_req)]
+                return [codes[i] for i in range(n_req)], wavs
             else:
                 if self.draft is not None:
                     from .models.ar import ar_generate_speculative
@@ -383,7 +441,7 @@ class Synthesizer:
                 sampling_temperature=self.nar_temperature,
             )
             codes = np.asarray(codes)
-        return [codes[i, : lens[i]] for i in range(n_req)]
+        return [codes[i, : lens[i]] for i in range(n_req)], None
 
     #: codec-decode lengths pad up to multiples of this many frames, so the
     #: jit'd decoder compiles one program per *bucket*, not per length (the
@@ -409,9 +467,11 @@ class Synthesizer:
         if not 1 <= len(requests) <= self.max_batch:
             raise ValueError(f"need 1..{self.max_batch} requests")
         prepared = [self._prepare(t, ref) for t, ref, _ in requests]
-        codes = self.synthesize_codes_batch(
-            prepared, [int(seed) for _, _, seed in requests]
+        codes, wavs = self._device_batch(
+            prepared, [int(seed) for _, _, seed in requests], want_wav=True
         )
+        if wavs is not None:  # fused path decoded in-graph
+            return [(w, self.sample_rate) for w in wavs]
         return [self.decode_codes(c) for c in codes]
 
     def synthesize(self, text: str, reference: str | Path, seed: int = 0):
@@ -428,7 +488,9 @@ class Synthesizer:
             return synthesize_long(self, text, reference, seed=seed,
                                    phones=phones)
         row = self._prepare_ids(ids, self.prompt_codes(reference))
-        codes = self.synthesize_codes_batch([row], [int(seed)])
+        codes, wavs = self._device_batch([row], [int(seed)], want_wav=True)
+        if wavs is not None:  # fused path decoded in-graph
+            return wavs[0], self.sample_rate
         return self.decode_codes(codes[0])
 
     def synthesize_stream(
@@ -493,12 +555,17 @@ class Synthesizer:
     def warmup(self, reference: str | Path):
         """Compile every device program once with bucket shapes — both the
         B=1 bucket and, when micro-batching, the coalesced ``max_batch``
-        bucket, so no live request ever pays a compile."""
+        bucket, and both fused variants (wav-inclusive for direct requests,
+        codes-only for long-form/stream segments), so no live request ever
+        pays a compile."""
         self.synthesize("warm up the compiler", reference)
+        row = self._prepare("warm up the compiler", reference)
+        self.synthesize_codes_batch([row], [0])
         if self.max_batch > 1:
             self.synthesize_batch(
                 [("warm up the compiler", reference, 0)] * 2
             )
+            self.synthesize_codes_batch([row] * 2, [0, 0])
         _logger.info("Synthesizer warm")
 
 
@@ -521,18 +588,26 @@ class Batcher:
     def submit_row(self, row: dict, seed: int = 0) -> np.ndarray:
         """Queue one prepared request row; blocks until the device batch
         carrying it completes and returns the row's (t, 8) codec codes."""
+        return self._submit(row, seed, want_wav=False)[0]
+
+    def _submit(self, row: dict, seed: int, want_wav: bool):
+        """Queue one row → (codes, wav|None).  ``want_wav`` marks the row
+        as wanting the in-graph decoded waveform; the cohort runs the
+        decode-inclusive program when any member wants it."""
         item = {
             "row": row,
             "seed": int(seed),
+            "want_wav": bool(want_wav),
             "event": threading.Event(),
             "codes": None,
+            "wav": None,
             "error": None,
         }
         self.q.put(item)
         item["event"].wait()
         if item["error"] is not None:
             raise item["error"]
-        return item["codes"]
+        return item["codes"], item["wav"]
 
     def submit(self, text: str, reference: str | Path, seed: int = 0):
         synth = self.synth
@@ -547,7 +622,9 @@ class Batcher:
             return synthesize_long(synth, text, reference, seed=seed,
                                    phones=phones, submit_row=self.submit_row)
         row = synth._prepare_ids(ids, synth.prompt_codes(reference))
-        codes = self.submit_row(row, seed)
+        codes, wav = self._submit(row, seed, want_wav=True)
+        if wav is not None:  # fused path decoded in-graph
+            return wav, synth.sample_rate
         return synth.decode_codes(codes)
 
     def _loop(self):
@@ -565,11 +642,15 @@ class Batcher:
             if self.stats is not None:
                 self.stats.record_batch(len(batch))
             try:
-                codes = self.synth.synthesize_codes_batch(
-                    [b["row"] for b in batch], [b["seed"] for b in batch]
+                want = any(b.get("want_wav") for b in batch)
+                codes, wavs = self.synth._device_batch(
+                    [b["row"] for b in batch], [b["seed"] for b in batch],
+                    want_wav=want,
                 )
-                for b, c in zip(batch, codes):
+                for i, (b, c) in enumerate(zip(batch, codes)):
                     b["codes"] = c
+                    if wavs is not None:
+                        b["wav"] = wavs[i]
             except Exception as e:  # noqa: BLE001 — delivered to the caller
                 for b in batch:
                     b["error"] = e
