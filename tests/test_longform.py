@@ -103,15 +103,18 @@ LONG_TEXT = "make some noise and then make even more noise for me today"
 
 
 def _count_calls(monkeypatch, synth):
+    # Spy on _device_batch — the single device entry point that both the
+    # staged (synthesize_codes_batch) and fused one-dispatch (synthesize)
+    # request paths flow through.
     calls = {"n": 0, "rows": []}
-    orig = synth.synthesize_codes_batch
+    orig = synth._device_batch
 
-    def spy(prepared, rng):
+    def spy(prepared, seeds, want_wav=False):
         calls["n"] += 1
         calls["rows"].append(prepared[0])
-        return orig(prepared, rng)
+        return orig(prepared, seeds, want_wav=want_wav)
 
-    monkeypatch.setattr(synth, "synthesize_codes_batch", spy)
+    monkeypatch.setattr(synth, "_device_batch", spy)
     return calls
 
 
