@@ -109,3 +109,15 @@ def test_train_main_eval_decode_audio(tmp_path, data_dir):
     wavs = list((tmp_path / "logs").rglob("*.wav"))
     assert any("ref" in str(w) for w in wavs)
     assert any("hyp" in str(w) for w in wavs)
+
+    # Objective metrics land next to the wav dumps: mean token accuracy
+    # per level + DTW-MCD (utils/metrics.py), one JSON per eval tick.
+    import json
+
+    metric_files = list((tmp_path / "logs").rglob("metrics.json"))
+    assert metric_files, "eval tick should write metrics.json"
+    blob = json.loads(metric_files[0].read_text())
+    assert blob["mean"]["n_utts"] >= 1
+    assert "acc" in blob["mean"] and "mcd" in blob["mean"]
+    assert 0.0 <= blob["mean"]["acc"] <= 1.0
+    assert blob["mean"]["mcd"] >= 0.0

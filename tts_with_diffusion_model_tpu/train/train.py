@@ -10,6 +10,7 @@ under ``log_dir/<step>/{hyp,ref}`` (``train.py:90-145``).
 
 from __future__ import annotations
 
+import json
 import logging
 from pathlib import Path
 
@@ -224,6 +225,10 @@ def main(cfg: Config | None = None):
             )
             hyps = [np.asarray(out[i])[:, None] for i in range(out.shape[0])]
 
+        from ..audio.wavio import write_wav
+        from ..utils.metrics import aggregate_metrics, eval_utterance_metrics
+
+        per_utt = []
         for i, path in enumerate(batch["path"]):
             rel = Path(path).name.split(".")[0]
             n = int(batch["resp_mask"][i].sum())
@@ -232,9 +237,23 @@ def main(cfg: Config | None = None):
             ref_path = out_root / "ref" / f"{rel}.wav"
             hyp_path.parent.mkdir(parents=True, exist_ok=True)
             ref_path.parent.mkdir(parents=True, exist_ok=True)
-            qnt.decode_to_file(ref, ref_path)
+            ref_wav, sr = qnt.decode(ref.T)
+            write_wav(ref_path, ref_wav, sr)
             if len(hyps[i]) > 0:
-                qnt.decode_to_file(hyps[i], hyp_path)
+                hyp_wav, _ = qnt.decode(np.asarray(hyps[i]).T)
+                write_wav(hyp_path, hyp_wav, sr)
+                per_utt.append(eval_utterance_metrics(
+                    hyps[i], ref, hyp_wav, ref_wav, sr))
+            else:
+                per_utt.append({"len_ratio": 0.0, "acc": 0.0})
+        # Objective numbers per eval tick (the reference's eval dumps wavs
+        # and losses only, ``train.py:90-145``): per-level token accuracy
+        # and DTW-aligned mel-cepstral distortion (utils/metrics.py).
+        metrics = aggregate_metrics(per_utt)
+        metrics.update({"global_step": engines.global_step, "name": name})
+        _logger.info(f"Eval metrics: {json.dumps(metrics)}.")
+        with open(out_root / "metrics.json", "w") as f:
+            json.dump({"mean": metrics, "per_utt": per_utt}, f, indent=1)
 
     # Compiled once per process; reused across eval ticks (re-jitting inside
     # run_eval would recompile the loss on every eval).
