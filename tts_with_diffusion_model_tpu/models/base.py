@@ -137,6 +137,9 @@ class Attention(nn.Module):
     d_model: int
     n_heads: int
     causal: bool
+    #: compute dtype for projections (fp32 master params are cast inside
+    #: the matmul; ``None`` keeps promotion semantics = fp32 compute).
+    dtype: Any = None
 
     def setup(self):
         self.to_qkv = nn.Dense(
@@ -145,12 +148,14 @@ class Attention(nn.Module):
             kernel_init=nn.with_logical_partitioning(
                 nn.initializers.lecun_normal(), (EMBED, HEADS)
             ),
+            dtype=self.dtype,
         )
         self.to_out = nn.Dense(
             self.d_model,
             kernel_init=nn.with_logical_partitioning(
                 nn.initializers.lecun_normal(), (HEADS, EMBED)
             ),
+            dtype=self.dtype,
         )
 
     def _heads(self, t):
@@ -212,6 +217,7 @@ class Attention(nn.Module):
 class FeedForward(nn.Module):
     d_model: int
     p_dropout: float
+    dtype: Any = None
 
     def setup(self):
         self.fc1 = nn.Dense(
@@ -219,12 +225,14 @@ class FeedForward(nn.Module):
             kernel_init=nn.with_logical_partitioning(
                 nn.initializers.lecun_normal(), (EMBED, MLP)
             ),
+            dtype=self.dtype,
         )
         self.fc2 = nn.Dense(
             self.d_model,
             kernel_init=nn.with_logical_partitioning(
                 nn.initializers.lecun_normal(), (MLP, EMBED)
             ),
+            dtype=self.dtype,
         )
         self.drop = nn.Dropout(self.p_dropout)
 
@@ -245,6 +253,7 @@ class PrenormBlock(nn.Module):
     causal: bool
     norm_type: str  # "ln" | "adaln"
     n_levels: Optional[int] = None
+    dtype: Any = None
 
     def setup(self):
         if self.norm_type == "adaln":
@@ -255,8 +264,10 @@ class PrenormBlock(nn.Module):
             # eps 1e-5 ≡ torch nn.LayerNorm default (``base.py:176``)
             self.norm_attn = nn.LayerNorm(epsilon=1e-5)
             self.norm_ffn = nn.LayerNorm(epsilon=1e-5)
-        self.attn = Attention(self.d_model, self.n_heads, self.causal)
-        self.ffn = FeedForward(self.d_model, self.p_dropout)
+        self.attn = Attention(
+            self.d_model, self.n_heads, self.causal, dtype=self.dtype
+        )
+        self.ffn = FeedForward(self.d_model, self.p_dropout, dtype=self.dtype)
         self.drop = nn.Dropout(self.p_dropout)
 
     def _norm(self, which, x, level):
@@ -386,6 +397,7 @@ class Base(nn.Module):
                 self.causal,
                 self.norm_type,
                 self.n_resp_levels,
+                dtype=self.dtype,
                 name=f"block_{i}",
             )
             for i in range(self.n_layers)

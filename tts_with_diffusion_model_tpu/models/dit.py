@@ -44,6 +44,10 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     act: str = "gelu"
+    #: compute dtype for the projections (params stay fp32 masters; flax
+    #: casts both operands to ``dtype`` inside the matmul).  ``None`` keeps
+    #: promotion semantics — fp32 compute whenever params are fp32.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -52,6 +56,7 @@ class Mlp(nn.Module):
             kernel_init=nn.with_logical_partitioning(
                 nn.initializers.lecun_normal(), (EMBED, MLP)
             ),
+            dtype=self.dtype,
             name="fc1",
         )(x)
         if self.act == "silu":
@@ -65,6 +70,7 @@ class Mlp(nn.Module):
             kernel_init=nn.with_logical_partitioning(
                 nn.initializers.lecun_normal(), (MLP, EMBED)
             ),
+            dtype=self.dtype,
             name="fc2",
         )(h)
         return h
@@ -79,6 +85,7 @@ class MHA(nn.Module):
 
     d_model: int
     n_heads: int
+    dtype: Any = None
 
     def setup(self):
         init = nn.with_logical_partitioning(
@@ -87,10 +94,12 @@ class MHA(nn.Module):
         out_init = nn.with_logical_partitioning(
             nn.initializers.lecun_normal(), (HEADS, EMBED)
         )
-        self.q = nn.Dense(self.d_model, kernel_init=init)
-        self.k = nn.Dense(self.d_model, kernel_init=init)
-        self.v = nn.Dense(self.d_model, kernel_init=init)
-        self.out = nn.Dense(self.d_model, kernel_init=out_init)
+        self.q = nn.Dense(self.d_model, kernel_init=init, dtype=self.dtype)
+        self.k = nn.Dense(self.d_model, kernel_init=init, dtype=self.dtype)
+        self.v = nn.Dense(self.d_model, kernel_init=init, dtype=self.dtype)
+        self.out = nn.Dense(
+            self.d_model, kernel_init=out_init, dtype=self.dtype
+        )
 
     def _heads(self, t):
         return t.reshape(*t.shape[:-1], self.n_heads, self.d_model // self.n_heads)
@@ -122,13 +131,16 @@ class EncoderLayer(nn.Module):
     n_heads: int
     ffn_dim: int | None = None
     act: str = "gelu"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None):
-        h = MHA(self.d_model, self.n_heads, name="self_attn")(x, x, mask, mask)
+        h = MHA(self.d_model, self.n_heads, dtype=self.dtype,
+                name="self_attn")(x, x, mask, mask)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + h)
         ffn = self.ffn_dim if self.ffn_dim is not None else self.d_model * 4
-        h = Mlp(ffn, self.d_model, act=self.act, name="ffn")(x)
+        h = Mlp(ffn, self.d_model, act=self.act, dtype=self.dtype,
+                name="ffn")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
         return x
 
@@ -142,15 +154,17 @@ class CondTower(nn.Module):
     n_layers: int = 2
     ffn_dim: int | None = None
     act: str = "gelu"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None):
         for i in range(self.n_layers):
             x = EncoderLayer(
                 self.d_model, self.n_heads, self.ffn_dim, self.act,
-                name=f"layer_{i}",
+                dtype=self.dtype, name=f"layer_{i}",
             )(x, mask)
-        x = Mlp(self.d_model * self.mlp_mult, self.d_model, act="silu", name="mlp")(x)
+        x = Mlp(self.d_model * self.mlp_mult, self.d_model, act="silu",
+                dtype=self.dtype, name="mlp")(x)
         if mask is not None:
             x = x * mask[..., None].astype(x.dtype)
         return x
@@ -166,21 +180,24 @@ class DiTBlock(nn.Module):
     d_model: int
     n_heads: int
     mlp_ratio: float = 4.0
+    dtype: Any = None
 
     def setup(self):
         self.norm1 = nn.LayerNorm(epsilon=1e-6)
-        self.attn = MHA(self.d_model, self.n_heads)
+        self.attn = MHA(self.d_model, self.n_heads, dtype=self.dtype)
         self.norm2 = nn.LayerNorm(epsilon=1e-6)
-        self.cross_attn = MHA(self.d_model, self.n_heads)
+        self.cross_attn = MHA(self.d_model, self.n_heads, dtype=self.dtype)
         self.norm22 = nn.LayerNorm(epsilon=1e-6)
-        self.cross_attn2 = MHA(self.d_model, self.n_heads)
+        self.cross_attn2 = MHA(self.d_model, self.n_heads, dtype=self.dtype)
         self.norm3 = nn.LayerNorm(epsilon=1e-6)
-        self.mlp = Mlp(int(self.d_model * self.mlp_ratio), self.d_model)
+        self.mlp = Mlp(int(self.d_model * self.mlp_ratio), self.d_model,
+                       dtype=self.dtype)
         self.timestep_fc = nn.Dense(
             self.d_model * 2,
             kernel_init=nn.with_logical_partitioning(
                 nn.initializers.zeros, (EMBED, MLP)
             ),
+            dtype=self.dtype,
         )
 
     def cross_kv(self, text_cond, spkr_cond):
@@ -267,10 +284,12 @@ class DiTDenoiser(nn.Module):
         self.text_tower = CondTower(
             self.d_model, self.n_heads, mlp_mult=2,
             ffn_dim=self.tower_ffn_dim, act=self.tower_act,
+            dtype=self.dtype,
         )
         self.prom_tower = CondTower(
             self.d_model, self.n_heads, mlp_mult=3,
             ffn_dim=self.tower_ffn_dim, act=self.tower_act,
+            dtype=self.dtype,
         )
         Block = (
             nn.remat(DiTBlock, methods=("apply_step",))
@@ -278,7 +297,8 @@ class DiTDenoiser(nn.Module):
             else DiTBlock
         )
         self.blocks = [
-            Block(self.d_model, self.n_heads, name=f"dit_{i}")
+            Block(self.d_model, self.n_heads, dtype=self.dtype,
+                  name=f"dit_{i}")
             for i in range(self.n_layers)
         ]
         self.final = nn.Dense(

@@ -84,7 +84,8 @@ class GaussianDenoiser(nn.Module):
         return self.unet_dims[-1] if self.unet_dims else self.d_model
 
     def setup(self):
-        self.in_proj = nn.Dense(self.d_model)
+        dt = self.dtype
+        self.in_proj = nn.Dense(self.d_model, dtype=dt)
         # token ↔ embedding table for the "embedding" diffusion domain
         # (≡ the resp embedding ar2/ar-dit diffuse over and decode against
         # with find_closest_embedding, ``ar2.py:424+``)
@@ -97,9 +98,9 @@ class GaussianDenoiser(nn.Module):
         )
         if self.unet_dims:
             # ar-3-style down/up projection chains around the DiT core.
-            self.down_projs = [nn.Dense(d) for d in self.unet_dims]
+            self.down_projs = [nn.Dense(d, dtype=dt) for d in self.unet_dims]
             self.up_projs = [
-                nn.Dense(d)
+                nn.Dense(d, dtype=dt)
                 for d in list(reversed(self.unet_dims[:-1])) + [self.d_model]
             ]
         self.text_emb = nn.Embed(
@@ -114,13 +115,16 @@ class GaussianDenoiser(nn.Module):
         )
         core = self.core_dim
         self.time_emb = nn.Embed(self.timesteps + 1, core)
-        self.text_tower = CondTower(self.d_model, self.n_heads, mlp_mult=2)
-        self.prom_tower = CondTower(self.d_model, self.n_heads, mlp_mult=3)
+        self.text_tower = CondTower(self.d_model, self.n_heads, mlp_mult=2,
+                                    dtype=dt)
+        self.prom_tower = CondTower(self.d_model, self.n_heads, mlp_mult=3,
+                                    dtype=dt)
         if self.unet_dims:
-            self.cond_proj = nn.Dense(core)  # conditioning into the bottleneck
+            # conditioning into the bottleneck
+            self.cond_proj = nn.Dense(core, dtype=dt)
         Block = nn.remat(DiTBlock) if self.remat else DiTBlock
         self.blocks = [
-            Block(core, self.n_heads, name=f"dit_{i}")
+            Block(core, self.n_heads, dtype=dt, name=f"dit_{i}")
             for i in range(self.n_layers)
         ]
         self.out_proj = nn.Dense(self.in_dim, dtype=jnp.float32)

@@ -69,21 +69,24 @@ class ConvResBlock(nn.Module):
     invariant)."""
 
     ch: int
-    dtype: Any = jnp.float32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, t_emb, mask):
         m = mask[..., None].astype(x.dtype)
+        dt = self.dtype
         groups = 8 if self.ch % 8 == 0 else 1
         h = MaskedGroupNorm(num_groups=groups, name="norm1")(x, mask)
-        h = nn.Conv(self.ch, (3,), padding="SAME", name="conv1")(nn.silu(h) * m)
-        ss = nn.Dense(2 * self.ch, name="film")(nn.silu(t_emb))
+        h = nn.Conv(self.ch, (3,), padding="SAME", dtype=dt,
+                    name="conv1")(nn.silu(h) * m)
+        ss = nn.Dense(2 * self.ch, dtype=dt, name="film")(nn.silu(t_emb))
         scale, shift = jnp.split(ss[:, None, :], 2, axis=-1)
         h = h * (1 + scale) + shift
         h = MaskedGroupNorm(num_groups=groups, name="norm2")(h, mask)
-        h = nn.Conv(self.ch, (3,), padding="SAME", name="conv2")(nn.silu(h) * m)
+        h = nn.Conv(self.ch, (3,), padding="SAME", dtype=dt,
+                    name="conv2")(nn.silu(h) * m)
         if x.shape[-1] != self.ch:
-            x = nn.Conv(self.ch, (1,), name="skip")(x)
+            x = nn.Conv(self.ch, (1,), dtype=dt, name="skip")(x)
         return (x + h) * m
 
 
@@ -93,12 +96,14 @@ class CrossAttnBlock(nn.Module):
 
     ch: int
     n_heads: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, cond, q_mask, kv_mask):
-        cond = nn.Dense(self.ch, name="cond_proj")(cond)
+        cond = nn.Dense(self.ch, dtype=self.dtype, name="cond_proj")(cond)
         h = nn.LayerNorm(name="norm")(x)
-        h = MHA(self.ch, self.n_heads, name="attn")(h, cond, q_mask, kv_mask)
+        h = MHA(self.ch, self.n_heads, dtype=self.dtype,
+                name="attn")(h, cond, q_mask, kv_mask)
         return x + h
 
 
@@ -134,38 +139,44 @@ class ConvUNetDenoiser(nn.Module):
         self.proms_emb = MultiEmbedding(
             self.n_prom_levels, self.n_classes, self.d_model
         )
-        self.text_tower = CondTower(self.d_model, self.n_heads, mlp_mult=2)
-        self.prom_tower = CondTower(self.d_model, self.n_heads, mlp_mult=3)
+        dt = self.dtype
+        self.text_tower = CondTower(self.d_model, self.n_heads, mlp_mult=2,
+                                    dtype=dt)
+        self.prom_tower = CondTower(self.d_model, self.n_heads, mlp_mult=3,
+                                    dtype=dt)
         self.time_emb = nn.Embed(self.timesteps + 1, self.channels[0])
-        self.time_mlp = nn.Dense(self.channels[0] * 4)
+        self.time_mlp = nn.Dense(self.channels[0] * 4, dtype=dt)
 
         chs = list(self.channels)
-        self.conv_in = nn.Conv(chs[0], (3,), padding="SAME")
+        self.conv_in = nn.Conv(chs[0], (3,), padding="SAME", dtype=dt)
         self.down_res = [
-            ConvResBlock(c, name=f"down_res_{i}") for i, c in enumerate(chs)
+            ConvResBlock(c, dtype=dt, name=f"down_res_{i}")
+            for i, c in enumerate(chs)
         ]
         self.down_attn = [
-            CrossAttnBlock(c, self.n_heads, name=f"down_attn_{i}")
+            CrossAttnBlock(c, self.n_heads, dtype=dt, name=f"down_attn_{i}")
             for i, c in enumerate(chs)
         ]
         self.downsamplers = [
-            nn.Conv(c, (3,), strides=(2,), padding="SAME", name=f"down_{i}")
+            nn.Conv(c, (3,), strides=(2,), padding="SAME", dtype=dt,
+                    name=f"down_{i}")
             for i, c in enumerate(chs[1:])
         ]
-        self.mid_res1 = ConvResBlock(chs[-1])
-        self.mid_attn = CrossAttnBlock(chs[-1], self.n_heads)
-        self.mid_res2 = ConvResBlock(chs[-1])
+        self.mid_res1 = ConvResBlock(chs[-1], dtype=dt)
+        self.mid_attn = CrossAttnBlock(chs[-1], self.n_heads, dtype=dt)
+        self.mid_res2 = ConvResBlock(chs[-1], dtype=dt)
         rev = list(reversed(chs))
         self.upsamplers = [
-            nn.ConvTranspose(c, (4,), strides=(2,), padding="SAME",
+            nn.ConvTranspose(c, (4,), strides=(2,), padding="SAME", dtype=dt,
                              name=f"up_{i}")
             for i, c in enumerate(rev[1:])
         ]
         self.up_res = [
-            ConvResBlock(c, name=f"up_res_{i}") for i, c in enumerate(rev)
+            ConvResBlock(c, dtype=dt, name=f"up_res_{i}")
+            for i, c in enumerate(rev)
         ]
         self.up_attn = [
-            CrossAttnBlock(c, self.n_heads, name=f"up_attn_{i}")
+            CrossAttnBlock(c, self.n_heads, dtype=dt, name=f"up_attn_{i}")
             for i, c in enumerate(rev)
         ]
         self.norm_out = MaskedGroupNorm(num_groups=8 if chs[0] % 8 == 0 else 1)
