@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="per-block gradient checkpointing (the training "
                          "default; lifts the batch ceiling)")
+    ap.add_argument("--remat-policy", default=None,
+                    help="remat granularity: 'dots' saves matmul outputs "
+                         "and recomputes only between them "
+                         "(models/base.py resolve_remat_policy)")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +60,8 @@ def main():
     from tts_with_diffusion_model_tpu.models import get_model
     from tts_with_diffusion_model_tpu.train.engine import Engine
 
-    dm = get_model("diffusion", overrides={"remat": args.remat})
+    dm = get_model("diffusion", overrides={"remat": args.remat,
+                                           "remat_policy": args.remat_policy})
     c = dm.config
     rng = jax.random.PRNGKey(0)
     d_params = dm.init(rng)

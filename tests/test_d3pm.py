@@ -214,6 +214,23 @@ def test_remat_is_exact_and_train_knobs_are_wired():
     )
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
 
+    # the "dots" remat policy (save matmul outputs, recompute the rest)
+    # changes only the store/recompute split — gradients stay exact
+    mp = DiffusionModel(
+        DiffusionConfig(**kw, remat=True, remat_policy="dots"),
+        dtype=jnp.float32,
+    )
+    gp = jax.grad(lambda p: mp.loss(p, batch, rng)[0])(params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, gp
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
+    with pytest.raises(ValueError, match="remat policy"):
+        DiffusionModel(
+            DiffusionConfig(**kw, remat=True, remat_policy="bogus"),
+            dtype=jnp.float32,
+        ).init(rng)
+
     # all_t (scan) path compiles and runs under remat too
     m2 = DiffusionModel(
         DiffusionConfig(**kw, remat=True, train_mode="all_t"),
@@ -236,6 +253,12 @@ def test_remat_is_exact_and_train_knobs_are_wired():
     cfg2 = Config(model="diffusion", gradient_checkpointing=False,
                   model_overrides=dict(d_model=16, n_heads=2, n_layers=1))
     assert build_model(cfg2).config.remat is False
+    cfgp = Config(model="diffusion", gradient_checkpointing_policy="dots",
+                  model_overrides=dict(d_model=16, n_heads=2, n_layers=1))
+    assert build_model(cfgp).config.remat_policy == "dots"
+    assert build_model(
+        Config(model="ar-quarter", gradient_checkpointing_policy="dots")
+    ).remat_policy == "dots"
 
     # use_fp16 selects the compute dtype (bf16 default, fp32 when off) and
     # gradient_checkpointing reaches the AR/NAR family too

@@ -761,4 +761,9 @@ def test_batcher_mixed_wav_and_codes_traffic(zoo, tmp_path_factory):
     np.testing.assert_array_equal(results["codes"], solo)
     wav_solo, _ = synth.synthesize("make some noise", zoo / "ref.wav",
                                    seed=11)
-    np.testing.assert_array_equal(wav, wav_solo)
+    # Codes are bit-identical (the reproducibility contract); the decoded
+    # audio runs through the codec's conv stack in a B=2 cohort program vs
+    # a B=1 solo program, and XLA's conv reduction order differs across
+    # batch shapes — float samples match to rounding, not bit-for-bit.
+    assert wav.shape == wav_solo.shape
+    np.testing.assert_allclose(wav, wav_solo, atol=1e-5, rtol=0)

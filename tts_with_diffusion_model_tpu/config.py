@@ -143,6 +143,12 @@ class Config(ConfigBase):
     # lifts the trainable batch ceiling at ~1 extra forward of compute
     gradient_checkpointing: bool = True
 
+    # remat granularity: null = recompute whole blocks; "dots" = save matmul
+    # outputs, recompute only attention internals/elementwise between them
+    # (less recompute, more activation memory — models/base.py
+    # resolve_remat_policy); gradients identical either way
+    gradient_checkpointing_policy: str | None = None
+
     # optional per-run hyperparameter overrides for get_model (e.g. tiny
     # smoke-test models: {d_model: 64, n_layers: 2})
     model_overrides: dict | None = None

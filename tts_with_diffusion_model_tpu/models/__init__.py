@@ -91,6 +91,6 @@ def get_model(
         raise NotImplementedError(name)
     dims.update(
         {k: v for k, v in ov.items()
-         if k in ("d_model", "n_heads", "n_layers", "remat")}
+         if k in ("d_model", "n_heads", "n_layers", "remat", "remat_policy")}
     )
     return Model(num_tokens, dtype=dtype, **dims)

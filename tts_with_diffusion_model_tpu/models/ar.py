@@ -28,6 +28,7 @@ class AR(nn.Module):
     n_layers: int = 12
     p_dropout: float = 0.1
     remat: bool = True
+    remat_policy: str | None = None
     dtype: Any = jnp.bfloat16
 
     # Property block mirroring the reference's Base contract (``ar.py:86-105``)
@@ -67,6 +68,7 @@ class AR(nn.Module):
             use_stop_token=True,
             norm_type="ln",
             remat=self.remat,
+            remat_policy=self.remat_policy,
             dtype=self.dtype,
         )
 

@@ -53,6 +53,30 @@ MLP = "mlp"
 VOCAB = "vocab"
 
 
+def resolve_remat_policy(name: Optional[str]):
+    """Map a config string to a ``jax.checkpoint_policies`` policy.
+
+    ``None`` → full recompute (classic per-block remat); ``"dots"`` saves
+    every matmul result that has no batch dims (all Dense projections —
+    attention's QKᵀ/AV keep their (B, heads) batch dims and are recomputed,
+    which is exactly the O(T²) memory remat exists to shed); ``"dots_all"``
+    saves every matmul including attention scores (memory ≈ no-remat).
+    Gradients are bit-identical across policies; only the recompute/memory
+    trade moves (tests/test_compute_dtype.py pins this).
+    """
+    if name is None:
+        return None
+    table = {
+        "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "dots_all": jax.checkpoint_policies.dots_saveable,
+        "nothing": jax.checkpoint_policies.nothing_saveable,
+    }
+    if name not in table:
+        raise ValueError(
+            f"unknown remat policy {name!r}; one of {sorted(table)}")
+    return table[name]
+
+
 def sinusoidal_embedding(pos: jax.Array, d_model: int) -> jax.Array:
     """Sinusoidal features of positions/timesteps.
 
@@ -358,6 +382,8 @@ class Base(nn.Module):
     norm_type: str = "ln"
     n_prom_levels: int = 8
     remat: bool = True
+    #: see models/dit.py resolve_remat_policy ("dots" saves matmul outputs)
+    remat_policy: Optional[str] = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -448,7 +474,8 @@ class Base(nn.Module):
         for block in self.blocks:
             if self.remat:
                 fn = nn.remat(
-                    type(block).__call__, static_argnums=(5,), prevent_cse=False
+                    type(block).__call__, static_argnums=(5,), prevent_cse=False,
+                    policy=resolve_remat_policy(self.remat_policy),
                 )
                 x = fn(block, x, mask, level, pos, deterministic)
             else:

@@ -56,6 +56,10 @@ class DiffusionConfig:
     # per-block gradient checkpointing in the denoiser (training memory
     # lever; see models/dit.py) — wired from cfg.gradient_checkpointing
     remat: bool = False
+    # remat policy: None = full recompute, "dots" = save matmul outputs and
+    # recompute only between them (models/dit.py resolve_remat_policy) —
+    # wired from cfg.gradient_checkpointing_policy
+    remat_policy: str | None = None
 
     @property
     def serving_resp_bucket(self) -> int:
@@ -89,6 +93,7 @@ class DiffusionModel:
             tower_act=config.tower_act,
             resp_pe=config.resp_pe,
             remat=config.remat,
+            remat_policy=config.remat_policy,
         )
         self.d3pm = D3PM.create(
             timesteps=config.timesteps,

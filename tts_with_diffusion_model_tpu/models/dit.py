@@ -25,14 +25,22 @@ Intent-preserving fixes (documented deviations):
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import cross_attention, dense_attention
-from .base import EMBED, HEADS, MLP, VOCAB, MultiEmbedding, sinusoidal_embedding
+from .base import (
+    EMBED,
+    HEADS,
+    MLP,
+    VOCAB,
+    MultiEmbedding,
+    resolve_remat_policy,
+    sinusoidal_embedding,
+)
 
 
 class Mlp(nn.Module):
@@ -261,6 +269,12 @@ class DiTDenoiser(nn.Module):
     # (sampling) are unaffected: ``jax.checkpoint`` is inert without
     # differentiation.
     remat: bool = False
+    #: rematerialization policy (only meaningful with ``remat=True``):
+    #: ``None`` recomputes the whole block; ``"dots"`` saves every matmul
+    #: output and recomputes only the cheap elementwise/attention-softmax
+    #: work between them (``jax.checkpoint_policies``) — less recompute for
+    #: a modest activation-memory increase.  See resolve_remat_policy.
+    remat_policy: Optional[str] = None
 
     def setup(self):
         self.text_emb = nn.Embed(
@@ -292,7 +306,11 @@ class DiTDenoiser(nn.Module):
             dtype=self.dtype,
         )
         Block = (
-            nn.remat(DiTBlock, methods=("apply_step",))
+            nn.remat(
+                DiTBlock,
+                methods=("apply_step",),
+                policy=resolve_remat_policy(self.remat_policy),
+            )
             if self.remat
             else DiTBlock
         )

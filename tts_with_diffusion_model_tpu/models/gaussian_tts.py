@@ -30,7 +30,7 @@ from ..diffusion.gaussian import (
     nearest_embedding,
     normalize_tokens,
 )
-from .base import EMBED, VOCAB
+from .base import EMBED, VOCAB, resolve_remat_policy
 from .dit import CondTower, DiTBlock, MultiEmbedding, sinusoidal_embedding
 
 
@@ -60,6 +60,7 @@ class GaussianConfig:
     # per-block gradient checkpointing in the DiT stack (training memory
     # lever; ≡ models/dit.py remat) — wired from cfg.gradient_checkpointing
     remat: bool = False
+    remat_policy: str | None = None  # see models/base.py resolve_remat_policy
 
 
 class GaussianDenoiser(nn.Module):
@@ -77,6 +78,7 @@ class GaussianDenoiser(nn.Module):
     unet_dims: tuple = ()
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    remat_policy: str | None = None
 
     @property
     def core_dim(self) -> int:
@@ -122,7 +124,10 @@ class GaussianDenoiser(nn.Module):
         if self.unet_dims:
             # conditioning into the bottleneck
             self.cond_proj = nn.Dense(core, dtype=dt)
-        Block = nn.remat(DiTBlock) if self.remat else DiTBlock
+        Block = (
+            nn.remat(DiTBlock, policy=resolve_remat_policy(self.remat_policy))
+            if self.remat else DiTBlock
+        )
         self.blocks = [
             Block(core, self.n_heads, dtype=dt, name=f"dit_{i}")
             for i in range(self.n_layers)
@@ -204,6 +209,7 @@ class GaussianDiffusionModel:
                 unet_dims=tuple(config.unet_dims),
                 dtype=dtype,
                 remat=config.remat,
+                remat_policy=config.remat_policy,
             )
         self.process = GaussianDiffusion.create(config.timesteps, config.schedule)
 

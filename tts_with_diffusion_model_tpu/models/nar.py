@@ -29,6 +29,7 @@ class NAR(nn.Module):
     n_layers: int = 12
     p_dropout: float = 0.1
     remat: bool = True
+    remat_policy: str | None = None
     dtype: Any = jnp.bfloat16
 
     # Property block mirroring the reference contract (``nar.py:7-26``)
@@ -64,6 +65,7 @@ class NAR(nn.Module):
             use_stop_token=False,
             norm_type="adaln",
             remat=self.remat,
+            remat_policy=self.remat_policy,
             dtype=self.dtype,
         )
 

@@ -40,6 +40,7 @@ def build_model(cfg: Config):
     if cfg.model.startswith("diffusion"):
         overrides.setdefault("train_mode", cfg.diffusion_train_mode)
     overrides.setdefault("remat", cfg.gradient_checkpointing)
+    overrides.setdefault("remat_policy", cfg.gradient_checkpointing_policy)
     dtype = jnp.bfloat16 if cfg.use_fp16 else jnp.float32
     return get_model(cfg.model, cfg.num_tokens, overrides, dtype=dtype)
 
