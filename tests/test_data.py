@@ -193,3 +193,124 @@ def test_dataloader_worker_exception_propagates(data_dir):
     with _pytest.raises(RuntimeError, match="corrupt sample"):
         next(it)
     it.close()
+
+
+def _fake_batch(rng, B, resp_lens, bucket):
+    """A collated batch with specified valid resp lengths."""
+    samples = []
+    for i in range(B):
+        L = resp_lens[i]
+        samples.append(dict(
+            path=f"utt{i}", spkr_name="sp",
+            text=rng.integers(1, 20, size=int(rng.integers(4, bucket.text_len))),
+            proms=rng.integers(0, 1024, size=(int(rng.integers(5, bucket.prom_len)), 8)),
+            resps=rng.integers(0, 1024, size=(L, 8)),
+        ))
+    return collate(samples, bucket)
+
+
+class _FakeBase:
+    """Infinite loader emitting full-bucket batches with varied resp lengths."""
+
+    def __init__(self, bucket, B=4, seed=0):
+        self.bucket = bucket
+        self.B = B
+        self.rng = np.random.default_rng(seed)
+        self.dataset = "sentinel"
+
+    def __iter__(self):
+        while True:
+            lens = self.rng.integers(3, self.bucket.resp_len + 1, size=self.B)
+            yield _fake_batch(self.rng, self.B, lens, self.bucket)
+
+
+def test_length_bucketed_loader_regroups_and_trims():
+    """The wrapper must (a) emit shapes only from the allowed bucket set,
+    (b) cover every group's longest sample, (c) preserve the exact multiset
+    of samples across each window, and (d) keep per-sample data identical
+    at the valid positions."""
+    from tts_with_diffusion_model_tpu.data.dataset import LengthBucketedLoader
+
+    bucket = BucketSpec(16, 24, 48)
+    base = _FakeBase(bucket, B=4, seed=1)
+    wrapped = LengthBucketedLoader(
+        base, bucket, resp_buckets=[16, 32], prom_buckets=[12, 24], window=4,
+        seed=0,
+    )
+    assert wrapped.resp_buckets == [16, 32, 48]
+    assert wrapped.dataset == "sentinel"
+
+    it = iter(wrapped)
+    seen_shapes = set()
+    for _ in range(3):  # 3 windows
+        window_paths = []
+        for _ in range(4):
+            b = next(it)
+            R = b["resp_mask"].shape[1]
+            P = b["prom_mask"].shape[1]
+            seen_shapes.add((R, P))
+            assert R in (16, 32, 48) and P in (12, 24)
+            # bucket covers the group's longest valid length
+            need = int(b["resp_mask"].sum(axis=1).max())
+            assert need <= R
+            if R > 16:
+                assert need > {32: 16, 48: 32}[R]  # smallest covering bucket
+            assert b["resps"].shape == (4, R, 8)
+            assert b["resp"].shape == (4, R)
+            np.testing.assert_array_equal(b["resp"], b["resps"][..., 0])
+            # valid data intact: mask prefix is all ones then zeros
+            lens = b["resp_mask"].sum(axis=1).astype(int)
+            for i, L in enumerate(lens):
+                assert b["resp_mask"][i, :L].all()
+                assert not b["resp_mask"][i, L:].any()
+            window_paths.extend(b["path"])
+        assert len(window_paths) == 16 and len(set(window_paths)) <= 16
+    # short groups actually produce smaller shapes at least once
+    assert any(R < 48 for R, _ in seen_shapes)
+
+
+def test_length_bucketed_loss_is_invariant_to_trimming():
+    """Trimming to a tighter resp bucket must not change the training loss:
+    pads are excluded from attention keys and from the masked CE, so the
+    full-bucket and tight-bucket collations of the same samples produce the
+    same loss under identical injected corruption noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_with_diffusion_model_tpu.models.diffusion import (
+        DiffusionConfig,
+        DiffusionModel,
+    )
+
+    V = 33
+    cfg = DiffusionConfig(
+        n_classes=V, d_model=32, n_heads=2, n_layers=1, timesteps=6,
+        resp_len=48, text_len=8, prom_len=12, gen_len=40,
+    )
+    m = DiffusionModel(cfg, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0))
+
+    rng_np = np.random.default_rng(3)
+    B = 3
+    full = BucketSpec(8, 12, 48)
+    batch_full = _fake_batch(rng_np, B, [10, 14, 16], full)
+    # the tight collation = what LengthBucketedLoader emits for this group
+    tight = {k: (v[:, :16] if k in ("resp", "resp_mask") else
+                 v[:, :16] if k == "resps" else v)
+             for k, v in batch_full.items()}
+
+    def to_model_batch(b, R):
+        return dict(
+            text=jnp.asarray(b["text"]), text_mask=jnp.asarray(b["text_mask"]),
+            proms=jnp.asarray(b["proms"]), prom_mask=jnp.asarray(b["prom_mask"]),
+            resp=jnp.asarray(b["resp"][:, :R]),
+            resp_mask=jnp.asarray(b["resp_mask"][:, :R]),
+        )
+
+    rng = jax.random.PRNGKey(7)
+    noise_full = jax.random.uniform(jax.random.PRNGKey(9), (B, 48, V))
+    l_full, _ = m.loss(params, to_model_batch(batch_full, 48), rng,
+                       q_noise=noise_full)
+    l_tight, _ = m.loss(params, to_model_batch(tight, 16), rng,
+                        q_noise=noise_full[:, :16])
+    np.testing.assert_allclose(float(l_full), float(l_tight), rtol=2e-5)

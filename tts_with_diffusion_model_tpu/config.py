@@ -157,6 +157,16 @@ class Config(ConfigBase):
     # Python loader when unavailable or for .qnt.pt-only datasets
     use_native_loader: bool = True
 
+    # Length-bucketed training batches (data/dataset.py
+    # LengthBucketedLoader): re-group each window of batches by valid
+    # response length and trim to the smallest listed bucket — cuts the
+    # padding FLOPs the fixed 448-frame bound wastes on short utterances.
+    # Masked loss/gradients are unchanged per sample; one compiled step per
+    # bucket shape.  e.g. resp_len_buckets: [192, 320, 448]
+    resp_len_buckets: list | None = None
+    prom_len_buckets: list | None = None
+    bucket_window_batches: int = 8
+
     # decode hyp/ref wavs during eval into log_dir/<step>/<name>/{hyp,ref}
     # (the eval body the reference disabled, ``vall_e/train.py:90-145``)
     eval_decode_audio: bool = False

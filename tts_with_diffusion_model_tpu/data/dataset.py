@@ -360,6 +360,92 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
 
+class LengthBucketedLoader:
+    """Length-grouped re-batching over any infinite training loader.
+
+    The reference (and the default path here) pads every batch to the full
+    resp/prom bounds (448/398, ``ar_discrete.py:592-626``), so short
+    utterances burn MXU FLOPs on masked positions.  This wrapper pulls a
+    window of ``window`` batches from the base loader (Python threaded or
+    the native C++ one), re-groups the window's samples by valid response
+    length, trims each group to the smallest allowed bucket that covers it,
+    and emits the groups in shuffled order.
+
+    XLA-friendly by construction: the emitted shapes come from a small
+    fixed set (one compiled step per bucket, cached by jit), batch size
+    never changes (dp sharding unaffected), and masks make the per-sample
+    loss/gradients identical to the full-bucket collation (pads are
+    excluded from attention keys and the loss — tests pin this).  Speaker
+    balance is preserved in expectation: grouping only reorders samples
+    *within* a window drawn by the balanced sampler.
+    """
+
+    def __init__(self, base, bucket: BucketSpec, resp_buckets,
+                 prom_buckets=None, window: int = 8, seed: int = 0):
+        self.base = base
+        self.bucket = bucket
+        self.resp_buckets = sorted(
+            {int(b) for b in resp_buckets if int(b) <= bucket.resp_len}
+            | {bucket.resp_len}
+        )
+        self.prom_buckets = (
+            sorted({int(b) for b in prom_buckets if int(b) <= bucket.prom_len}
+                   | {bucket.prom_len})
+            if prom_buckets else None
+        )
+        self.window = max(1, int(window))
+        self.seed = seed
+
+    @property
+    def dataset(self):
+        return self.base.dataset
+
+    def close(self):
+        close = getattr(self.base, "close", None)
+        if close is not None:
+            close()
+
+    @staticmethod
+    def _pick(buckets: list[int], need: int) -> int:
+        for b in buckets:
+            if b >= need:
+                return b
+        return buckets[-1]
+
+    def __iter__(self):
+        rng = random.Random(self.seed)
+        it = iter(self.base)
+        while True:
+            window = [next(it) for _ in range(self.window)]
+            B = window[0]["resp_mask"].shape[0]
+            merged = {}
+            for k, v0 in window[0].items():
+                if isinstance(v0, np.ndarray):
+                    merged[k] = np.concatenate([w[k] for w in window], axis=0)
+                else:  # path / spkr_name lists
+                    merged[k] = [x for w in window for x in w[k]]
+            # valid lengths from the masks (pads are a contiguous suffix)
+            rlens = merged["resp_mask"].sum(axis=1).astype(np.int64)
+            order = np.argsort(rlens, kind="stable")
+            groups = [order[i * B:(i + 1) * B] for i in range(self.window)]
+            rng.shuffle(groups)
+            for g in groups:
+                out = {
+                    k: (v[g] if isinstance(v, np.ndarray) else [v[i] for i in g])
+                    for k, v in merged.items()
+                }
+                r_need = int(out["resp_mask"].sum(axis=1).max())
+                R = self._pick(self.resp_buckets, r_need)
+                for k in ("resps", "resp", "resp_mask"):
+                    out[k] = out[k][:, :R]
+                if self.prom_buckets:
+                    p_need = int(out["prom_mask"].sum(axis=1).max())
+                    P = self._pick(self.prom_buckets, p_need)
+                    out["proms"] = out["proms"][:, :P]
+                    out["prom_mask"] = out["prom_mask"][:, :P]
+                yield out
+
+
 def _dataset_cache_file(cfg) -> Path:
     """Cache key for dataset-construction memoization (≡ the reference's
     ``diskcache.Cache(cfg.cache_dir).memoize`` on ``create_datasets``,
@@ -502,6 +588,18 @@ def create_train_val_dataloader(cfg, bucket: BucketSpec | None = None):
     if train_dl is None:
         train_dl = DataLoader(
             train_dataset, cfg.batch_size, bucket, training=True, nj=cfg.nj
+        )
+    resp_buckets = getattr(cfg, "resp_len_buckets", None)
+    if resp_buckets:
+        train_dl = LengthBucketedLoader(
+            train_dl, bucket, resp_buckets,
+            prom_buckets=getattr(cfg, "prom_len_buckets", None),
+            window=getattr(cfg, "bucket_window_batches", 8),
+            seed=cfg.seed,
+        )
+        _logger.info(
+            "Length-bucketed batching: resp %s prom %s window %s",
+            train_dl.resp_buckets, train_dl.prom_buckets, train_dl.window,
         )
     val_dl = DataLoader(val_dataset, cfg.eval_batch_size, bucket, training=False)
 
