@@ -59,7 +59,8 @@ def main():
     ap.add_argument("--buckets", default="192,320,448")
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--samples", type=int, default=30_720)
-    ap.add_argument("--remat", action="store_true", default=True)
+    ap.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                    default=True)
     ap.add_argument("--remat-policy", default=None)
     args = ap.parse_args()
 

@@ -269,6 +269,40 @@ def test_length_bucketed_loader_regroups_and_trims():
     assert any(R < 48 for R, _ in seen_shapes)
 
 
+def test_length_bucketed_loader_agrees_on_shape_across_hosts(monkeypatch):
+    """Multi-host: the bucket choice must be process-independent.  Hosts
+    draw different samples, so the loader must agree on the max need across
+    processes — otherwise the shared SPMD train step receives
+    differently-shaped arrays at the same global step and hangs.  Simulate
+    a peer host whose group always needs the full bucket and assert every
+    emitted batch is padded to the globally-agreed shape."""
+    from tts_with_diffusion_model_tpu.data.dataset import LengthBucketedLoader
+    from tts_with_diffusion_model_tpu.utils import distributed as dist
+
+    monkeypatch.setattr(dist, "world_size", lambda: 2)
+    calls = []
+
+    def fake_all_reduce_max_int(v):
+        calls.append(int(v))
+        return 48 if len(calls) % 2 == 1 else 24  # resp then prom needs
+
+    monkeypatch.setattr(dist, "all_reduce_max_int", fake_all_reduce_max_int)
+
+    bucket = BucketSpec(16, 24, 48)
+    base = _FakeBase(bucket, B=4, seed=1)
+    wrapped = LengthBucketedLoader(
+        base, bucket, resp_buckets=[16, 32], prom_buckets=[12, 24], window=2,
+        seed=0,
+    )
+    it = iter(wrapped)
+    for _ in range(4):
+        b = next(it)
+        # the remote peer's need (48 / 24) dominates the local one
+        assert b["resp_mask"].shape[1] == 48
+        assert b["prom_mask"].shape[1] == 24
+    assert calls  # the collective was actually consulted
+
+
 def test_length_bucketed_loss_is_invariant_to_trimming():
     """Trimming to a tighter resp bucket must not change the training loss:
     pads are excluded from attention keys and from the masked CE, so the

@@ -48,6 +48,26 @@ def test_token_accuracy_empty_hyp():
     assert m["acc"] == 0.0 and m["len_ratio"] == 0.0
 
 
+def test_token_accuracy_teacher_levels_excluded_from_acc():
+    # NAR setting: level 0 is teacher-provided (always correct by
+    # construction), levels 1+ are generated.  'acc' must grade only the
+    # generated levels — otherwise a guaranteed-perfect level inflates it.
+    ref = np.zeros((10, 3), np.int32)
+    hyp = np.zeros((10, 3), np.int32)
+    hyp[:, 1] = 9   # generated level 1 all wrong
+    hyp[:5, 2] = 9  # generated level 2 half wrong
+    m = token_accuracy(hyp, ref, teacher_levels=1)
+    assert m["level0_acc_teacher"] == 1.0
+    assert "level0_acc" not in m
+    assert m["level1_acc"] == 0.0
+    assert m["level2_acc"] == 0.5
+    assert m["acc"] == 0.25  # mean over levels 1-2 only
+
+    # teacher_levels covering everything degenerates safely
+    m_all = token_accuracy(hyp, ref, teacher_levels=5)
+    assert m_all["acc"] == 0.0
+
+
 # ---------------------------------------------------------------- cepstra
 
 

@@ -434,12 +434,22 @@ class LengthBucketedLoader:
                     k: (v[g] if isinstance(v, np.ndarray) else [v[i] for i in g])
                     for k, v in merged.items()
                 }
+                # Multi-host: every process draws different samples, so the
+                # covering bucket must be agreed globally or the shared SPMD
+                # train step would see differently-shaped arrays and hang.
+                # The max over hosts keeps everyone's valid frames intact.
                 r_need = int(out["resp_mask"].sum(axis=1).max())
+                from ..utils.distributed import all_reduce_max_int, world_size
+
+                if world_size() > 1:
+                    r_need = all_reduce_max_int(r_need)
                 R = self._pick(self.resp_buckets, r_need)
                 for k in ("resps", "resp", "resp_mask"):
                     out[k] = out[k][:, :R]
                 if self.prom_buckets:
                     p_need = int(out["prom_mask"].sum(axis=1).max())
+                    if world_size() > 1:
+                        p_need = all_reduce_max_int(p_need)
                     P = self._pick(self.prom_buckets, p_need)
                     out["proms"] = out["proms"][:, :P]
                     out["prom_mask"] = out["prom_mask"][:, :P]

@@ -229,6 +229,10 @@ def main(cfg: Config | None = None):
         from ..audio.wavio import write_wav
         from ..utils.metrics import aggregate_metrics, eval_utterance_metrics
 
+        # The NAR is *given* ground-truth level 0 (it only generates levels
+        # 1+), so scoring level 0 would pad 'acc' with a guaranteed-perfect
+        # level; report it as teacher-provided instead.
+        teacher_levels = 1 if cfg.model.startswith("nar") else 0
         per_utt = []
         for i, path in enumerate(batch["path"]):
             rel = Path(path).name.split(".")[0]
@@ -244,7 +248,8 @@ def main(cfg: Config | None = None):
                 hyp_wav, _ = qnt.decode(np.asarray(hyps[i]).T)
                 write_wav(hyp_path, hyp_wav, sr)
                 per_utt.append(eval_utterance_metrics(
-                    hyps[i], ref, hyp_wav, ref_wav, sr))
+                    hyps[i], ref, hyp_wav, ref_wav, sr,
+                    teacher_levels=teacher_levels))
             else:
                 per_utt.append({"len_ratio": 0.0, "acc": 0.0})
         # Objective numbers per eval tick (the reference's eval dumps wavs

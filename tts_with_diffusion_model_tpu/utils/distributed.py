@@ -138,3 +138,21 @@ def broadcast_object(obj, src: int = 0):
         buf[:] = np.frombuffer(payload, np.uint8)
     out = multihost_utils.broadcast_one_to_all(buf, is_source=is_src)
     return pickle.loads(np.asarray(out).tobytes())
+
+
+def all_reduce_max_int(value: int) -> int:
+    """Max of a small host-side integer across all processes.
+
+    Every process must call this at the same point (it is a collective).
+    Used by the length-bucketed loader to agree on a per-batch pad shape:
+    each host draws different samples, so the covering bucket must be the
+    max of every host's local need or the SPMD train step would receive
+    differently-shaped arrays and hang.  World-of-one returns the input.
+    """
+    if world_size() <= 1:
+        return int(value)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.int64(value))
+    return int(np.max(np.asarray(gathered)))

@@ -27,15 +27,22 @@ import numpy as np
 # ---------------------------------------------------------------- tokens
 
 
-def token_accuracy(hyp: np.ndarray, ref: np.ndarray) -> dict:
+def token_accuracy(
+    hyp: np.ndarray, ref: np.ndarray, teacher_levels: int = 0
+) -> dict:
     """Exact-match accuracy of codec codes, per RVQ level.
 
     Args:
         hyp: (t_h, L_h) int codes (generated).
         ref: (t_r, L_r) int codes (ground truth).
+        teacher_levels: number of leading levels that were *given* to the
+            model rather than generated (the NAR receives ground-truth
+            level 0, so its level-0 "accuracy" is trivially 1.0).  These
+            levels are reported as ``level{l}_acc_teacher`` and excluded
+            from the aggregate ``acc``.
     Returns:
         dict with ``level{l}_acc`` for each common level, ``acc`` (mean
-        over common levels and frames), and ``len_ratio`` (t_h / t_r).
+        over generated levels and frames), and ``len_ratio`` (t_h / t_r).
         Accuracy compares the first ``min(t_h, t_r)`` frames; a length
         mismatch is reported by ``len_ratio`` rather than counted as
         errors (alignment-free measure — MCD covers pacing).
@@ -51,9 +58,13 @@ def token_accuracy(hyp: np.ndarray, ref: np.ndarray) -> dict:
         out["acc"] = 0.0
         return out
     eq = hyp[:t, :levels] == ref[:t, :levels]
+    teacher_levels = min(int(teacher_levels), levels)
     for lv in range(levels):
-        out[f"level{lv}_acc"] = float(eq[:, lv].mean())
-    out["acc"] = float(eq.mean())
+        key = (f"level{lv}_acc_teacher" if lv < teacher_levels
+               else f"level{lv}_acc")
+        out[key] = float(eq[:, lv].mean())
+    scored = eq[:, teacher_levels:]
+    out["acc"] = float(scored.mean()) if scored.size else 0.0
     return out
 
 
@@ -178,9 +189,10 @@ def eval_utterance_metrics(
     hyp_wav: np.ndarray | None = None,
     ref_wav: np.ndarray | None = None,
     sr: int = 24_000,
+    teacher_levels: int = 0,
 ) -> dict:
     """All objective metrics for one eval utterance (codes + optional wavs)."""
-    out = token_accuracy(hyp_codes, ref_codes)
+    out = token_accuracy(hyp_codes, ref_codes, teacher_levels=teacher_levels)
     if hyp_wav is not None and ref_wav is not None:
         out.update(mel_cepstral_distortion(hyp_wav, ref_wav, sr))
     return out
