@@ -84,6 +84,13 @@ class Codec:
             params = self._init_params(rng_seed)
             self.pretrained = False
         else:
+            # Loaded checkpoints arrive as host numpy arrays; pin them on
+            # device once or every encode/decode call re-transfers the
+            # full parameter set (measured ~6× per-call slowdown through
+            # the TPU tunnel).
+            params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(jnp.asarray(x, jnp.float32)), params
+            )
             self.pretrained = True
         self.params = params
         self._encode = jax.jit(
@@ -92,6 +99,10 @@ class Codec:
         )
         self._decode = jax.jit(
             functools.partial(self.model.apply, method=EncodecModel.decode)
+        )
+        self._encode_latents = jax.jit(
+            functools.partial(self.model.apply,
+                              method=EncodecModel.encode_latents)
         )
 
     def _init_params(self, seed: int):
@@ -111,6 +122,18 @@ class Codec:
         x = jnp.asarray(wav, jnp.float32)[None, :, None]
         codes = self._encode(self.params, x, num_quantizers=num_quantizers)
         return np.asarray(codes[0])
+
+    def encode_latents(self, wav: np.ndarray, sr: int = SAMPLE_RATE
+                       ) -> np.ndarray:
+        """wav: (T,) or (C, T) float → pre-quantization latents
+        (frames, dim) float32.  Used by codebook calibration
+        (``codec/calibrate.py``) and codec training."""
+        from ..audio.wavio import convert_audio
+
+        wav = convert_audio(wav, sr, SAMPLE_RATE, target_channels=1)
+        x = jnp.asarray(wav, jnp.float32)[None, :, None]
+        z = self._encode_latents(self.params, x)
+        return np.asarray(z[0])
 
     def decode(self, codes: np.ndarray) -> tuple[np.ndarray, int]:
         """codes: (Q, frames) or (B, Q, frames) → (wav float (T,), sr)
