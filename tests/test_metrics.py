@@ -173,3 +173,33 @@ def test_aggregate_metrics_means_and_skips_nonfinite():
 
 def test_aggregate_metrics_empty():
     assert aggregate_metrics([]) == {"n_utts": 0}
+
+
+# ---------------------------------------------------------------- seams
+
+
+def test_seam_flux_flags_hard_splice_not_smooth_join():
+    from tts_with_diffusion_model_tpu.utils.metrics import seam_spectral_flux
+
+    sr = SR
+    half = int(0.5 * sr)
+    # hard splice: different frequency AND phase-discontinuous amplitude
+    a = _tone(300, seconds=0.5)
+    b = 0.9 * _tone(1700, seconds=0.5, phase=1.3)
+    spliced = np.concatenate([a, b])
+    rough = seam_spectral_flux(spliced, sr, [half])
+    # smooth "join": one continuous tone, boundary marked mid-signal
+    smooth = seam_spectral_flux(_tone(300, seconds=1.0), sr, [half])
+    assert rough["seam_flux_ratio_max"] > 3.0
+    assert smooth["seam_flux_ratio_max"] < 2.0
+    assert rough["seam_flux_ratio_max"] > 2 * smooth["seam_flux_ratio_max"]
+
+
+def test_seam_flux_degenerate_inputs():
+    from tts_with_diffusion_model_tpu.utils.metrics import seam_spectral_flux
+
+    out = seam_spectral_flux(np.zeros(64), SR, [10])
+    assert out["seam_flux_ratios"] == []
+    # boundary beyond the signal is skipped, not an error
+    out2 = seam_spectral_flux(_tone(440), SR, [10 ** 9])
+    assert out2["seam_flux_ratios"] == []

@@ -22,6 +22,8 @@ utterances of a few hundred frames) and none of this belongs on the chip.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 
 # ---------------------------------------------------------------- tokens
@@ -181,6 +183,55 @@ def mel_cepstral_distortion(
     path = _dtw_path(local)
     mcd = float(np.mean([local[i, j] for i, j in path]))
     return {"mcd": mcd, "frames": len(path)}
+
+
+def seam_spectral_flux(
+    wav: np.ndarray,
+    sr: int,
+    boundary_samples: Sequence[int],
+    n_fft: int = 1024,
+    hop: int = 256,
+    n_mels: int = 40,
+) -> dict:
+    """Spectral discontinuity at segment joins, relative to the signal's
+    own frame-to-frame variation.
+
+    Long-form synthesis (``longform.py``) chains fixed-bucket segments and
+    decodes the concatenated code stream in one convolutional pass,
+    claiming seam-free joins.  This measures that claim: for each boundary
+    (sample offset of a join), take the log-mel spectral flux
+    ``‖logmel[i+1] − logmel[i]‖₂`` over the frames straddling the join and
+    divide by the median flux across the whole signal.  A ratio ≈ 1 means
+    a join is no rougher than ordinary signal evolution; audible splice
+    clicks show up as ratios ≫ 1.
+
+    Returns ``{"seam_flux_ratios": [...], "seam_flux_ratio_max": r,
+    "seam_flux_ratio_mean": r, "flux_median": m}``.
+    """
+    wav = np.asarray(wav, np.float64).reshape(-1)
+    frames = _frame(wav, n_fft, hop) * np.hanning(n_fft)[None, :]
+    mag = np.abs(np.fft.rfft(frames, axis=-1))
+    mel = mel_filterbank(sr, n_fft, n_mels) @ (mag.T ** 2)  # (n_mels, T)
+    logmel = np.log(np.maximum(mel, 1e-10)).T  # (T, n_mels)
+    if logmel.shape[0] < 3:
+        return {"seam_flux_ratios": [], "seam_flux_ratio_max": 0.0,
+                "seam_flux_ratio_mean": 0.0, "flux_median": 0.0}
+    flux = np.linalg.norm(np.diff(logmel, axis=0), axis=-1)  # (T-1,)
+    baseline = float(np.median(flux))
+    ratios = []
+    for s in boundary_samples:
+        b = int(round(s / hop))
+        lo = max(0, b - 2)
+        hi = min(len(flux), b + 2)
+        if lo >= hi:
+            continue
+        ratios.append(float(flux[lo:hi].max() / max(baseline, 1e-10)))
+    return {
+        "seam_flux_ratios": ratios,
+        "seam_flux_ratio_max": float(max(ratios)) if ratios else 0.0,
+        "seam_flux_ratio_mean": float(np.mean(ratios)) if ratios else 0.0,
+        "flux_median": baseline,
+    }
 
 
 def eval_utterance_metrics(
