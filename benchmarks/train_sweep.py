@@ -1,4 +1,4 @@
-"""Training-throughput batch sweep for the production D3PM (single chip).
+"""Training-throughput batch sweep, all three model families (single chip).
 
 The reference's second headline is *training time* (``README.md:27-30``:
 500 h AR → 280 h D3PM, hardware unspecified).  On this side that headline
@@ -12,7 +12,14 @@ bf16 compute, donated buffers) and reports:
   steps/s · utts/s ·  MFU  (XLA cost_analysis FLOPs of the compiled step
                             over measured wall time / chip peak)
 
-Usage:  python benchmarks/train_sweep.py [--batches 24,48,96,192] [--runs 10]
+``--model`` selects the family: ``diffusion`` (D3PM, the reference's 280 h
+headline), ``ar`` (its 500 h baseline) or ``nar`` — both at production
+d1024/16/12.  ``--resp-len``/``--prom-len``/``--text-len`` set the batch
+bucket (production 448/398/50; a corpus-fit 192 bucket is ~5× less
+attention work).
+
+Usage:  python benchmarks/train_sweep.py [--model diffusion|ar|nar]
+            [--batches 24,48,96,192] [--runs 10] [--remat] [--remat-policy dots]
 
 Axon-tunnel gotchas handled: per-step distinct PRNG keys (identical-arg
 executions are elided by the tunnel cache) and params passed positionally
@@ -38,6 +45,8 @@ PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="diffusion",
+                    choices=["diffusion", "ar", "nar"])
     ap.add_argument("--batches", default="24,48,96,192")
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--remat", action="store_true",
@@ -47,6 +56,9 @@ def main():
                     help="remat granularity: 'dots' saves matmul outputs "
                          "and recomputes only between them "
                          "(models/base.py resolve_remat_policy)")
+    ap.add_argument("--text-len", type=int, default=50)
+    ap.add_argument("--prom-len", type=int, default=398)
+    ap.add_argument("--resp-len", type=int, default=448)
     args = ap.parse_args()
 
     import jax
@@ -57,14 +69,49 @@ def main():
     except Exception:
         pass
 
+    import types
+
+    import jax.numpy as jnp
+
     from tts_with_diffusion_model_tpu.models import get_model
     from tts_with_diffusion_model_tpu.train.engine import Engine
+    from tts_with_diffusion_model_tpu.train.train import make_loss_fn
 
-    dm = get_model("diffusion", overrides={"remat": args.remat,
-                                           "remat_policy": args.remat_policy})
-    c = dm.config
+    model = get_model(args.model, overrides={"remat": args.remat,
+                                             "remat_policy": args.remat_policy})
     rng = jax.random.PRNGKey(0)
-    d_params = dm.init(rng)
+    if args.model == "diffusion":
+        c = model.config
+        lens = dict(text=c.text_len, prom=c.prom_len, resp=c.resp_len)
+        d_params = model.init(rng)
+    else:
+        lens = dict(text=args.text_len, prom=args.prom_len,
+                    resp=args.resp_len)
+        ex = dict(
+            t=jnp.zeros((2, lens["text"]), jnp.int32),
+            tm=jnp.ones((2, lens["text"])),
+            pr=jnp.zeros((2, lens["prom"], 8), jnp.int32),
+            pm=jnp.ones((2, lens["prom"])),
+        )
+        if args.model == "ar":
+            d_params = model.init(
+                rng, ex["t"], ex["tm"], ex["pr"], ex["pm"],
+                jnp.zeros((2, lens["resp"]), jnp.int32),
+                jnp.ones((2, lens["resp"])),
+            )
+        else:
+            d_params = model.init(
+                rng, ex["t"], ex["tm"], ex["pr"], ex["pm"],
+                jnp.zeros((2, lens["resp"], 8), jnp.int32),
+                jnp.ones((2, lens["resp"])),
+                jnp.zeros((2,), jnp.int32),
+            )
+    # make_loss_fn only reads cfg.model and (diffusion) the max-t clamp
+    loss_fn = make_loss_fn(
+        types.SimpleNamespace(model=args.model,
+                              max_train_diffusion_steps=None),
+        model,
+    )
 
     opt_cfg = {
         "scheduler": {"warmup_min_lr": 1e-9, "warmup_max_lr": 1e-5,
@@ -76,15 +123,17 @@ def main():
     rng_np = np.random.default_rng(0)
     rows = []
     for B in [int(b) for b in args.batches.split(",")]:
+        resps = rng_np.integers(0, 1024, (B, lens["resp"], 8)).astype(np.int32)
         tbatch = dict(
-            text=rng_np.integers(1, 200, (B, c.text_len)).astype(np.int32),
-            text_mask=np.ones((B, c.text_len), np.float32),
-            proms=rng_np.integers(0, 1024, (B, c.prom_len, 8)).astype(np.int32),
-            prom_mask=np.ones((B, c.prom_len), np.float32),
-            resp=rng_np.integers(0, 1024, (B, c.resp_len)).astype(np.int32),
-            resp_mask=np.ones((B, c.resp_len), np.float32),
+            text=rng_np.integers(1, 200, (B, lens["text"])).astype(np.int32),
+            text_mask=np.ones((B, lens["text"]), np.float32),
+            proms=rng_np.integers(0, 1024, (B, lens["prom"], 8)).astype(np.int32),
+            prom_mask=np.ones((B, lens["prom"]), np.float32),
+            resp=resps[..., 0].copy(),
+            resps=resps,
+            resp_mask=np.ones((B, lens["resp"]), np.float32),
         )
-        eng = Engine("model", d_params, lambda p, b, r: dm.loss(p, b, r),
+        eng = Engine("model", d_params, loss_fn,
                      opt_cfg, f"/tmp/bench_ckpt_sweep_{B}")
         try:
             # FLOPs of the compiled step (params+opt donated, so lower the
@@ -114,7 +163,9 @@ def main():
             dt = (time.perf_counter() - t0) / args.runs
 
             row = {
+                "model": args.model,
                 "batch": B,
+                "resp_len": lens["resp"],
                 "step_ms": round(dt * 1e3, 1),
                 "steps_per_sec": round(1.0 / dt, 3),
                 "utts_per_sec": round(B / dt, 1),
