@@ -128,3 +128,35 @@ def test_speculative_k1_and_temperature_paths():
     np.testing.assert_array_equal(
         np.asarray(solo[0, :n]), np.asarray(toks[0, :n])
     )
+
+
+def test_speculative_stats_accounting():
+    """with_stats: committed counts include the prefill token, each round
+    commits accepted-drafts + 1, and the perfect draft accepts everything
+    (accepted_per_round == k+1 until the stop token lands)."""
+    target, t_params, (text, tm, proms, pm) = _make(0)
+    k = 4
+    toks, lens, stats = ar_generate_speculative(
+        target, t_params, target, t_params, text, tm, proms, pm,
+        jax.random.PRNGKey(0), max_steps=12, k=k,
+        sampling_temperature=0.0, with_stats=True,
+    )
+    rounds = int(stats["rounds"])
+    committed = np.asarray(stats["committed"])
+    assert rounds >= 1
+    # every row: y0 + per-round commits, capped at max_steps
+    assert (committed >= 1).all() and (committed <= 12).all()
+    # perfect draft: all k accepted every full round → the slowest row
+    # advances k+1 per round (modulo the final truncated round)
+    assert committed.max() - 1 >= min(12 - 1, (rounds - 1) * (k + 1))
+    # greedy identity is preserved regardless of stats plumbing
+    ref_toks, ref_lens = ar_generate(
+        target, t_params, text, tm, proms, pm, jax.random.PRNGKey(0),
+        max_steps=12, sampling_temperature=0.0,
+    )
+    for b in range(2):
+        n = int(ref_lens[b])
+        assert int(lens[b]) == n
+        np.testing.assert_array_equal(
+            np.asarray(toks[b, :n]), np.asarray(ref_toks[b, :n])
+        )

@@ -199,7 +199,8 @@ def _mask_slots(mask, start, keep, width: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "target_model", "draft_model", "max_steps", "k", "sampling_temperature"
+        "target_model", "draft_model", "max_steps", "k",
+        "sampling_temperature", "with_stats",
     ),
 )
 def ar_generate_speculative(
@@ -215,6 +216,7 @@ def ar_generate_speculative(
     max_steps: int = 1000,
     k: int = 4,
     sampling_temperature: float = 0.0,
+    with_stats: bool = False,
 ):
     """Speculative AR decoding: a cheap draft proposes ``k`` tokens per
     round, the target verifies them all in ONE teacher-forced cached
@@ -242,6 +244,10 @@ def ar_generate_speculative(
     as soon as every row has stopped or reached ``max_steps``.
 
     Returns (tokens (B, max_steps), lengths (B,)) like ``ar_generate``.
+    With ``with_stats=True`` a third element is appended: a dict with
+    ``rounds`` (scalar draft/verify rounds executed) and ``committed``
+    (per-row committed token counts), from which the mean accepted-per-
+    round / acceptance rate falls out (``benchmarks/spec_decode_bench.py``).
     """
     B, Tt = text.shape
     Tp = proms.shape[1]
@@ -401,4 +407,6 @@ def ar_generate_speculative(
     any_stop = is_stop.any(axis=1)
     first_stop = jnp.argmax(is_stop, axis=1)
     lengths = jnp.where(any_stop, first_stop, out["cnt"])
+    if with_stats:
+        return tokens, lengths, {"rounds": out["r"], "committed": out["cnt"]}
     return tokens, lengths
