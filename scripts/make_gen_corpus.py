@@ -25,11 +25,16 @@ Text model (what the phoneme stream must carry):
     relative duration) pairs;
   - an utterance's melody is the concatenation of its words' notes, scaled
     to one of four fixed total durations (4 wav lengths ⇒ 4 XLA encode
-    compilations, not 768).
+    compilations, not 768); the duration itself is crc32(text)-derived,
+    so text fully determines pacing.
 
-Same text → same relative melody for every speaker; same speaker → same
-timbre and pitch base for every text.  Disentangling the two is exactly the
-zero-shot task.
+The corpus is **deterministic given (speaker, text)** — no per-utterance
+randomness survives into the waveform (fixed Schroeder harmonic phases,
+text-derived duration).  That property is load-bearing: the held-out
+token-accuracy measurement is only meaningful if an oracle model *could*
+score 1.0.  Same text → same relative melody for every speaker; same
+speaker → same timbre and pitch base for every text.  Disentangling the
+two is exactly the zero-shot task.
 
 Usage: python scripts/make_gen_corpus.py OUTDIR [--speakers 32] [--utts 24]
 Writes OUTDIR/spk{i:02d}/utt{j:03d}.wav + .normalized.txt, then run the
@@ -116,9 +121,23 @@ def utterance_text(spk_i: int, utt_j: int, n_words_rng) -> str:
     return " ".join(VOCAB[k] for k in idx)
 
 
-def synth_utterance(spk: dict, text: str, total_frames: int,
-                    seed: int) -> np.ndarray:
-    """Additive harmonic synthesis of ``text`` in ``spk``'s voice."""
+def duration_frames(text: str) -> int:
+    """Total duration as a *deterministic function of the text* (crc32 →
+    one of the 4 fixed lengths).  If duration were drawn per utterance the
+    held-out task would be unlearnable: the model cannot know an unseen
+    utterance's random length, and a melody scaled to the wrong total
+    misaligns every frame, flooring token accuracy at chance."""
+    return DUR_FRAMES[zlib.crc32(("dur:" + text).encode()) % len(DUR_FRAMES)]
+
+
+def synth_utterance(spk: dict, text: str, total_frames: int) -> np.ndarray:
+    """Additive harmonic synthesis of ``text`` in ``spk``'s voice.
+
+    Fully deterministic given (speaker, text, total_frames): harmonic
+    phases follow a fixed Schroeder-style schedule (low crest factor, no
+    RNG).  Per-utterance random phases would make held-out codec tokens
+    unpredictable *in principle* — the val-split token accuracy this
+    corpus exists to measure would be chance for a perfect model."""
     notes = [n for w in text.split() for n in _word_notes(w)]
     rels = np.array([r for _, r in notes])
     # distribute total_frames across notes proportionally (≥4 frames each)
@@ -128,7 +147,6 @@ def synth_utterance(spk: dict, text: str, total_frames: int,
     while frames.sum() < total_frames:
         frames[int(np.argmin(frames))] += 1
 
-    rng = np.random.default_rng(seed)
     out = np.zeros(total_frames * HOP, np.float64)
     pos = 0
     K = 14  # harmonics
@@ -145,7 +163,8 @@ def synth_utterance(spk: dict, text: str, total_frames: int,
         for k, a in zip(harm, amps):
             if k * f0 > SR / 2 - 200:
                 break
-            seg += a * np.sin(k * phase + rng.uniform(0, 2 * np.pi))
+            # Schroeder phases: deterministic, spreads energy in time
+            seg += a * np.sin(k * phase + np.pi * k * (k + 1) / K)
         # 10 ms attack/decay ramps avoid clicks at note boundaries
         ramp = min(int(0.010 * SR), n // 4)
         env = np.ones(n)
@@ -174,10 +193,8 @@ def generate(outdir: Path, n_speakers: int = 32, n_utts: int = 24,
         spk_dir.mkdir(exist_ok=True)
         for j in range(n_utts):
             text = utterance_text(i, j, None)
-            dur = DUR_FRAMES[
-                int(np.random.default_rng(j * 37 + i).integers(
-                    0, len(DUR_FRAMES)))]
-            wav = synth_utterance(spk, text, dur, seed=i * 10_000 + j)
+            dur = duration_frames(text)
+            wav = synth_utterance(spk, text, dur)
             write_wav_int16(spk_dir / f"utt{j:03d}.wav", wav)
             (spk_dir / f"utt{j:03d}.normalized.txt").write_text(text)
         if verbose:

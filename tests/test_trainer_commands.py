@@ -130,3 +130,25 @@ def test_periodic_checkpoint_cadence(monkeypatch):
         eval_fn=lambda engines: None,
     )
     assert eng.saves == 2  # steps 3 and 6
+
+
+def test_zero_periods_disable_triggers(monkeypatch):
+    """eval_every: 0 / save_ckpt_every: 0 mean "never" — they must not
+    divide by zero (found driving config/gen4-style runs with eval
+    disabled); explicit stdin `eval`/`save` still work."""
+    eng = FakeEngines()
+    eng.cfg.max_iter = 5
+    eng.cfg.save_ckpt_every = 0
+    eng.cfg.eval_every = 0
+    eng.cfg.save_on_quit = False
+    seq = iter(["", "eval", "", "save", ""])
+    monkeypatch.setattr(trainer, "_non_blocking_input", lambda: next(seq, ""))
+    evals = []
+    trainer.train(
+        engines_loader=lambda: eng,
+        train_dl=iter(lambda: {"x": 1}, None),
+        eval_fn=lambda engines: evals.append(engines.global_step),
+    )
+    assert eng.steps == 5
+    assert evals == [1]      # the stdin eval only (first line is pre-loop)
+    assert eng.saves == 1    # the stdin save only

@@ -43,7 +43,13 @@ def get_model(
 
         from .gaussian_tts import GaussianConfig, GaussianDiffusionModel
 
-        if "unet2d" in name:
+        if "unet2d-ref" in name:
+            # ar-last's literal denoiser topology: diffusers
+            # UNet2DConditionModel(448, block_out_channels=(320,640,1280,
+            # 1280), encoder_hid_dim=448) re-expressed in Flax/NHWC
+            # (models/unet2dcond.py; vall_e/vall_e/ar-last.py:186).
+            domain, unet, denoiser = "value", (), "unet2d-ref"
+        elif "unet2d" in name:
             # ar-last's conv-UNet denoiser (UNet2DConditionModel analogue,
             # models/unet.py); value domain by construction.
             domain, unet, denoiser = "value", (), "conv-unet"
@@ -56,6 +62,11 @@ def get_model(
             n_tokens=num_tokens, domain=domain, unet_dims=unet,
             denoiser=denoiser,
         )
+        if denoiser == "unet2d-ref":
+            # the published block widths (ar-last.py:186); overridable below
+            cfg = dataclasses.replace(
+                cfg, unet_channels=(320, 640, 1280, 1280), n_heads=8
+            )
         valid = {f.name for f in dataclasses.fields(GaussianConfig)}
         cfg = dataclasses.replace(cfg, **{k: v for k, v in ov.items() if k in valid})
         return GaussianDiffusionModel(cfg, dtype=dtype)

@@ -52,9 +52,10 @@ class GaussianConfig:
     # ``ar-3.py`` design: down-projection encoders → narrow DiT blocks →
     # up-projection, ``ar-3.py:212-252``).  Empty = plain DiT (ar-dit/ar-4).
     unet_dims: tuple = ()
-    # Denoiser architecture: "dit" (default) or "conv-unet" — the
+    # Denoiser architecture: "dit" (default), "conv-unet" — the TPU-shaped
     # UNet2DConditionModel analogue of ``ar-last.py:186`` (value domain
-    # only; see models/unet.py).
+    # only; see models/unet.py) — or "unet2d-ref", the literal published
+    # topology (models/unet2dcond.py).
     denoiser: str = "dit"
     unet_channels: tuple = (64, 128, 256)
     # per-block gradient checkpointing in the DiT stack (training memory
@@ -182,7 +183,24 @@ class GaussianDiffusionModel:
     def __init__(self, config: GaussianConfig = GaussianConfig(), dtype=jnp.bfloat16):
         self.config = config
         self.in_dim = config.d_model if config.domain == "embedding" else 1
-        if config.denoiser == "conv-unet":
+        if config.denoiser == "unet2d-ref":
+            if config.domain != "value":
+                raise ValueError("unet2d-ref denoiser requires domain='value'")
+            from .unet2dcond import UNet2DCondDenoiser
+
+            self.denoiser = UNet2DCondDenoiser(
+                in_dim=self.in_dim,
+                d_model=config.d_model,
+                n_heads=config.n_heads,
+                n_classes=config.n_tokens + 1,
+                n_prom_levels=config.n_prom_levels,
+                timesteps=config.timesteps,
+                text_len=config.text_len,
+                prom_len=config.prom_len,
+                channels=tuple(config.unet_channels),
+                dtype=dtype,
+            )
+        elif config.denoiser == "conv-unet":
             if config.domain != "value":
                 raise ValueError("conv-unet denoiser requires domain='value'")
             from .unet import ConvUNetDenoiser
@@ -219,7 +237,7 @@ class GaussianDiffusionModel:
         out = self.denoiser.apply(
             params, text, text_mask, proms, prom_mask, method="conds"
         )
-        if self.config.denoiser == "conv-unet":
+        if self.config.denoiser in ("conv-unet", "unet2d-ref"):
             cond, cond_mask = out
             return (cond, cond_mask, None, None)
         tc, sc = out

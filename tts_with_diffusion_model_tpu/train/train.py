@@ -224,7 +224,15 @@ def main(cfg: Config | None = None):
                 jnp.asarray(batch["text_mask"]), jnp.asarray(batch["proms"]),
                 jnp.asarray(batch["prom_mask"]), rng,
             )
-            hyps = [np.asarray(out[i])[:, None] for i in range(out.shape[0])]
+            # This family generates a fixed window (the reference's D3PM
+            # emits its full 448-frame bucket too, ``ar_discrete.py:592``);
+            # utterance length is externally set, not model-chosen.  Score
+            # the reference's span — otherwise the padding tail beyond the
+            # utterance dominates the DTW-MCD with content-free frames.
+            hyps = [
+                np.asarray(out[i])[: int(batch["resp_mask"][i].sum()), None]
+                for i in range(out.shape[0])
+            ]
 
         from ..audio.wavio import write_wav
         from ..utils.metrics import aggregate_metrics, eval_utterance_metrics

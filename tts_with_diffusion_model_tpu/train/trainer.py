@@ -217,8 +217,9 @@ def train(
 
         # Actions are collected as flags so that a periodic trigger and an
         # explicit command on the same step produce one save/eval, not two.
-        want_save = step % ckpt_period == 0
-        want_eval = step % cfg.eval_every == 0
+        # 0 disables the periodic trigger (stdin `save`/`eval` still work)
+        want_save = bool(ckpt_period) and step % ckpt_period == 0
+        want_eval = bool(cfg.eval_every) and step % cfg.eval_every == 0
         want_quit = False
 
         for cmd in (typed, *schedule.take_due(step)):
