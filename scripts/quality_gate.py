@@ -45,6 +45,19 @@ def main():
                     help="first-stage sampler (maskgit = confidence-ordered "
                          "parallel decoding, D3PM bundles only)")
     ap.add_argument("--maskgit-steps", type=int, default=12)
+    ap.add_argument(
+        "--nar-bundle", type=Path, default=None,
+        help="trained NAR bundle: extend the gate through all 8 RVQ levels "
+             "(levels 1-7 filled by the NAR), decode the full code stack to "
+             "a wav, and report per-level token accuracy + DTW-MCD against "
+             "the ground-truth wav (the full-stack analogue of the "
+             "reference's two-stage CLI, ``vall_e/__main__.py:66-73``)",
+    )
+    ap.add_argument(
+        "--max-mcd", type=float, default=None,
+        help="with --nar-bundle: fail the gate if DTW-MCD (dB) exceeds this",
+    )
+    ap.add_argument("--nar-temperature", type=float, default=0.2)
     args = ap.parse_args()
 
     import jax
@@ -98,10 +111,47 @@ def main():
         "decode": args.decode,
         "ok": acc >= args.min_acc,
     }
+
+    if args.nar_bundle is not None:
+        # Full-stack leg: NAR fills levels 1-7 on top of the first stage's
+        # level 0, the whole 8-level stack decodes to a wav, and the wav is
+        # scored against the ground-truth recording (DTW-MCD).
+        from tts_with_diffusion_model_tpu.audio.wavio import read_wav
+        from tts_with_diffusion_model_tpu.models.nar import nar_generate
+        from tts_with_diffusion_model_tpu.utils.metrics import (
+            eval_utterance_metrics,
+        )
+
+        nar_params, nar_meta, _, _ = load_bundle(args.nar_bundle)
+        nar = build_model(nar_meta)
+        rm = np.ones((1, n_cmp), np.float32)
+        resps = nar_generate(
+            nar, nar_params, jnp.asarray(text), jnp.asarray(tm),
+            jnp.asarray(pr), jnp.asarray(pm), out[:, :n_cmp],
+            jnp.asarray(rm), jax.random.PRNGKey(args.seed + 1),
+            sampling_temperature=args.nar_temperature,
+        )
+        hyp_codes = np.asarray(resps[0])             # (n_cmp, 8)
+        ref_codes = np.asarray(codes)[:, :n_cmp].T   # (n_cmp, 8)
+        hyp_wav, sr = qnt.decode(hyp_codes.T)
+        ref_wav, ref_sr = read_wav(args.wav)
+        m = eval_utterance_metrics(
+            hyp_codes, ref_codes,
+            hyp_wav=np.asarray(hyp_wav).reshape(-1),
+            ref_wav=np.asarray(ref_wav).reshape(-1), sr=sr,
+        )
+        report["full_stack"] = {
+            k: round(float(v), 4) for k, v in m.items()
+        }
+        if args.max_mcd is not None:
+            mcd = m.get("mcd", float("inf"))
+            report["max_mcd"] = args.max_mcd
+            report["ok"] = bool(report["ok"] and mcd <= args.max_mcd)
+
     print(json.dumps(report))
     if not report["ok"]:
         print(
-            f"QUALITY GATE FAILED: level-0 accuracy {acc:.3f} < {args.min_acc}",
+            f"QUALITY GATE FAILED: {json.dumps(report)}",
             file=sys.stderr,
         )
         sys.exit(1)

@@ -34,10 +34,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 from collections import defaultdict
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def code_hist(codes: np.ndarray, bins: int = 1024) -> np.ndarray:
@@ -111,9 +114,13 @@ def main():
 
     from tts_with_diffusion_model_tpu.data.dataset import get_phones
 
+    # generation length must fit the tightened bucket (generate raises on
+    # resp_bucket < gen_len); the corpus' utterances are well under it
+    gl = min(args.resp_bucket, c.gen_len)
     gen_jit = jax.jit(
         lambda p, text, tm, proms, pm, r: model.generate(
-            p, text, tm, proms, pm, r, resp_bucket=args.resp_bucket)
+            p, text, tm, proms, pm, r, gen_len=gl,
+            resp_bucket=args.resp_bucket)
     )
 
     results = []
