@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--text-len", type=int, default=50)
     ap.add_argument("--prom-len", type=int, default=398)
     ap.add_argument("--resp-len", type=int, default=448)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed steps "
+                         "for each batch size under DIR/B<batch> (roofline "
+                         "evidence: where the step time actually goes)")
     args = ap.parse_args()
 
     import jax
@@ -157,10 +161,18 @@ def main():
             # Warmup ×2 (layout recompile on step 2 — Engine docstring).
             eng.train_batch(tbatch, jax.random.PRNGKey(10_000))
             eng.train_batch(tbatch, jax.random.PRNGKey(10_001))
+            if args.profile:
+                from contextlib import ExitStack
+
+                stack = ExitStack()
+                stack.enter_context(
+                    jax.profiler.trace(f"{args.profile}/B{B}"))
             t0 = time.perf_counter()
             for i in range(args.runs):
                 eng.train_batch(tbatch, jax.random.PRNGKey(i))
             dt = (time.perf_counter() - t0) / args.runs
+            if args.profile:
+                stack.close()
 
             row = {
                 "model": args.model,
