@@ -112,6 +112,37 @@ def test_engine_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_engine_checkpoint_retention_and_pinned_restore(tmp_path):
+    """``keep`` prunes to the newest N step dirs; ``step=`` restores an
+    exact checkpoint (post-hoc export at a chosen eval tick) and a missing
+    pinned step raises instead of silently starting fresh."""
+    _, params, loss_fn, batch = make_tiny()
+    eng = Engine("model", params, loss_fn, OPT_CFG, tmp_path,
+                 mesh=build_mesh(1, 1, jax.devices()[:1]))
+    for i in range(4):
+        eng.train_batch(batch, jax.random.PRNGKey(i))
+        eng.save_checkpoint(keep=10)
+    ckdir = tmp_path / "model"
+    assert sorted(p.name for p in ckdir.glob("step_*")) == [
+        f"step_{s:08d}" for s in (1, 2, 3, 4)
+    ]
+
+    eng2 = Engine("model", params, loss_fn, OPT_CFG, tmp_path,
+                  mesh=build_mesh(1, 1, jax.devices()[:1]))
+    assert eng2.load_checkpoint(step=2)
+    assert eng2.global_step == 2
+
+    with pytest.raises(FileNotFoundError, match="restore_step=7"):
+        eng2.load_checkpoint(step=7)
+
+    # retention: keep=2 prunes the oldest dirs on the next save
+    eng.train_batch(batch, jax.random.PRNGKey(9))
+    eng.save_checkpoint(keep=2)
+    assert sorted(p.name for p in ckdir.glob("step_*")) == [
+        f"step_{s:08d}" for s in (4, 5)
+    ]
+
+
 def test_engine_multichip_dp_tp_mesh(tmp_path):
     """Full train step over a 4×2 dp×tp mesh on 8 virtual CPU devices —
     the sharding path the driver's dryrun_multichip validates."""

@@ -94,6 +94,13 @@ class Config(ConfigBase):
     gradient_clipping: float = 1.0
     eval_every: int = 2_000
     save_ckpt_every: int | None = 2_000
+    # checkpoint retention: newest N step dirs survive (DeepSpeed keeps all;
+    # 3 bounds disk like the r3 runs did).  Raise it to keep every eval-tick
+    # checkpoint selectable for post-hoc export (restore_step).
+    ckpt_keep: int = 3
+    # resume/export from this exact step instead of the latest checkpoint
+    # (e.g. the val-loss minimum of an overfitting run); None = latest
+    restore_step: int | None = None
 
     model: str = "ar-quarter"
     spkr_name_getter: str = "filename"

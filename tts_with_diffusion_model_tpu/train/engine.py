@@ -309,10 +309,12 @@ class Engine:
         for old in steps[:-keep]:
             shutil.rmtree(old, ignore_errors=True)
 
-    def load_checkpoint(self) -> bool:
+    def load_checkpoint(self, step: int | None = None) -> bool:
         """Auto-resume from the latest *complete* checkpoint if present
         (non-strict: a missing dir is fine, ≡ the reference's tolerant
-        resume).
+        resume).  ``step`` pins an exact checkpoint instead of the latest
+        (post-hoc export at a chosen eval tick, e.g. a val-loss minimum);
+        a missing pinned step is an error, not a silent fresh start.
 
         A crash or SIGKILL mid-save leaves an ``*.orbax-checkpoint-tmp``
         directory; orbax refuses to restore it, and treating it as the
@@ -334,8 +336,22 @@ class Engine:
             shutil.rmtree(tmp, ignore_errors=True)
         steps = sorted(p for p in d.iterdir() if p.name.startswith("step_"))
         if not steps:
+            if step is not None:
+                raise FileNotFoundError(
+                    f"restore_step={step}: no checkpoints under {d}"
+                )
             return False
-        path = steps[-1].absolute()
+        if step is not None:
+            want = d / f"step_{step:08d}"
+            if want not in steps:
+                have = ", ".join(p.name for p in steps)
+                raise FileNotFoundError(
+                    f"restore_step={step}: {want.name} not found "
+                    f"(have: {have})"
+                )
+            path = want.absolute()
+        else:
+            path = steps[-1].absolute()
         target = {
             "params": self.params,
             "opt_state": self.opt_state,
@@ -394,12 +410,14 @@ class Engines(dict):
         return max(e.global_step for e in self.values())
 
     def save_checkpoint(self):
+        keep = int(getattr(self.cfg, "ckpt_keep", 3) or 3)
         for e in self.values():
-            e.save_checkpoint()
+            e.save_checkpoint(keep=keep)
 
     def load_checkpoint(self):
+        step = getattr(self.cfg, "restore_step", None)
         for e in self.values():
-            e.load_checkpoint()
+            e.load_checkpoint(step=step)
 
     def step(self, batch: dict) -> dict:
         """One step across all engines with wall-clock timing
