@@ -56,6 +56,10 @@ def main():
                     help="remat granularity: 'dots' saves matmul outputs "
                          "and recomputes only between them "
                          "(models/base.py resolve_remat_policy)")
+    ap.add_argument("--attn-impl", default=None,
+                    help="DiT self-attention impl: 'flash' = fully-fused "
+                         "library Pallas kernel (fwd+bwd), default dense "
+                         "XLA (diffusion model only)")
     ap.add_argument("--text-len", type=int, default=50)
     ap.add_argument("--prom-len", type=int, default=398)
     ap.add_argument("--resp-len", type=int, default=448)
@@ -82,7 +86,8 @@ def main():
     from tts_with_diffusion_model_tpu.train.train import make_loss_fn
 
     model = get_model(args.model, overrides={"remat": args.remat,
-                                             "remat_policy": args.remat_policy})
+                                             "remat_policy": args.remat_policy,
+                                             "attn_impl": args.attn_impl})
     rng = jax.random.PRNGKey(0)
     if args.model == "diffusion":
         c = model.config
@@ -176,6 +181,7 @@ def main():
 
             row = {
                 "model": args.model,
+                "attn_impl": args.attn_impl or "dense",
                 "batch": B,
                 "resp_len": lens["resp"],
                 "step_ms": round(dt * 1e3, 1),

@@ -74,3 +74,34 @@ def test_supported_shapes():
     assert supported((8, 448, 8, 64), (8, 448, 8, 64))
     assert not supported((1, 2048, 8, 64), (1, 2048, 8, 64))
     assert not supported((1, 64, 8, 63), (1, 64, 8, 63))
+
+
+def test_attn_impl_flash_falls_back_to_dense_off_tpu():
+    """`impl="flash"` (the fully-fused library train kernel) is TPU-only;
+    off-TPU `cross_attention` must silently take the dense path so CPU
+    training/tests of a flash-configured model stay correct."""
+    from tts_with_diffusion_model_tpu.ops.attention import cross_attention
+
+    q, k, v, km = _inputs()
+    ref = cross_attention(q, k, v, kv_mask=km)
+    got = cross_attention(q, k, v, kv_mask=km, impl="flash")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
+def test_attn_impl_threads_to_dit_blocks():
+    """cfg.attn_impl reaches every DiT block's self-attention MHA (and only
+    the self-attention — cross-attention stays dense, see DiTBlock)."""
+    from tts_with_diffusion_model_tpu.models import get_model
+
+    model = get_model(
+        "diffusion",
+        overrides={"d_model": 32, "n_heads": 2, "n_layers": 2,
+                   "attn_impl": "flash"},
+    )
+    den = model.denoiser
+    assert den.attn_impl == "flash"
+    bound = den.bind(model.init(jax.random.PRNGKey(0)))
+    for blk in bound.blocks:
+        assert blk.attn.attn_impl == "flash"
+        assert blk.cross_attn.attn_impl is None
+        assert blk.cross_attn2.attn_impl is None

@@ -156,6 +156,12 @@ class Config(ConfigBase):
     # resolve_remat_policy); gradients identical either way
     gradient_checkpointing_policy: str | None = None
 
+    # DiT self-attention implementation: null/"dense" = XLA fused attention,
+    # "flash" = the fully-fused (forward AND backward) library Pallas TPU
+    # kernel — keeps the (B, H, T, T) score tensor out of HBM in training
+    # (ops/attention.py); falls back to dense off-TPU
+    attn_impl: str | None = None
+
     # optional per-run hyperparameter overrides for get_model (e.g. tiny
     # smoke-test models: {d_model: 64, n_layers: 2})
     model_overrides: dict | None = None

@@ -60,6 +60,10 @@ class DiffusionConfig:
     # recompute only between them (models/dit.py resolve_remat_policy) —
     # wired from cfg.gradient_checkpointing_policy
     remat_policy: str | None = None
+    # DiT-block self-attention implementation: None/"dense" = XLA,
+    # "flash" = fully-fused library Pallas kernel (training HBM lever;
+    # models/dit.py, ops/attention.py) — wired from cfg.attn_impl
+    attn_impl: str | None = None
 
     @property
     def serving_resp_bucket(self) -> int:
@@ -94,6 +98,7 @@ class DiffusionModel:
             resp_pe=config.resp_pe,
             remat=config.remat,
             remat_policy=config.remat_policy,
+            attn_impl=config.attn_impl,
         )
         self.d3pm = D3PM.create(
             timesteps=config.timesteps,

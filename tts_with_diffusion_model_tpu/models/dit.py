@@ -94,6 +94,11 @@ class MHA(nn.Module):
     d_model: int
     n_heads: int
     dtype: Any = None
+    #: attention implementation (ops/attention.py cross_attention ``impl``):
+    #: None/"dense" = XLA, "fused" = the repo's forward-fused Pallas kernel,
+    #: "flash" = the fully-fused (fwd+bwd) library Pallas kernel — the
+    #: training-time HBM lever; off-TPU it falls back to dense.
+    attn_impl: str | None = None
 
     def setup(self):
         init = nn.with_logical_partitioning(
@@ -117,7 +122,7 @@ class MHA(nn.Module):
 
     def attend(self, q_in, k, v, q_mask=None, kv_mask=None):
         q = self._heads(self.q(q_in))
-        o = cross_attention(q, k, v, q_mask, kv_mask)
+        o = cross_attention(q, k, v, q_mask, kv_mask, impl=self.attn_impl)
         o = o.reshape(*o.shape[:-2], self.d_model)
         return self.out(o)
 
@@ -189,10 +194,17 @@ class DiTBlock(nn.Module):
     n_heads: int
     mlp_ratio: float = 4.0
     dtype: Any = None
+    #: attention impl for the *self*-attention (the (B, H, Tr, Tr) score
+    #: tensor — the block's dominant HBM traffic at train batch sizes).
+    #: Cross-attention stays dense: its key sides (text 50, prom 398) keep
+    #: scores small and the flash kernel's 128-multiple padding would cost
+    #: more than the fusion saves.
+    attn_impl: str | None = None
 
     def setup(self):
         self.norm1 = nn.LayerNorm(epsilon=1e-6)
-        self.attn = MHA(self.d_model, self.n_heads, dtype=self.dtype)
+        self.attn = MHA(self.d_model, self.n_heads, dtype=self.dtype,
+                        attn_impl=self.attn_impl)
         self.norm2 = nn.LayerNorm(epsilon=1e-6)
         self.cross_attn = MHA(self.d_model, self.n_heads, dtype=self.dtype)
         self.norm22 = nn.LayerNorm(epsilon=1e-6)
@@ -275,6 +287,10 @@ class DiTDenoiser(nn.Module):
     #: work between them (``jax.checkpoint_policies``) — less recompute for
     #: a modest activation-memory increase.  See resolve_remat_policy.
     remat_policy: Optional[str] = None
+    #: self-attention implementation inside the DiT blocks (see DiTBlock /
+    #: ops/attention.py): "flash" routes training through the fully-fused
+    #: library Pallas kernel on TPU.
+    attn_impl: Optional[str] = None
 
     def setup(self):
         self.text_emb = nn.Embed(
@@ -316,7 +332,7 @@ class DiTDenoiser(nn.Module):
         )
         self.blocks = [
             Block(self.d_model, self.n_heads, dtype=self.dtype,
-                  name=f"dit_{i}")
+                  attn_impl=self.attn_impl, name=f"dit_{i}")
             for i in range(self.n_layers)
         ]
         self.final = nn.Dense(

@@ -56,6 +56,65 @@ def dense_attention(
     return out.astype(v.dtype)
 
 
+def _train_flash_attention(q, k, v, kv_mask):
+    """Fully-fused flash attention (forward AND backward) for training.
+
+    Routes through the library Pallas TPU kernel
+    (``jax.experimental.pallas.ops.tpu.flash_attention``), whose custom VJP
+    keeps the (B, H, Tq, Tk) score tensor out of HBM in *both* passes —
+    the repo's serving kernel (``ops/flash_attention.py``) fuses only the
+    forward and recomputes the backward through XLA, so it never helps a
+    train step.  At the D3PM train shapes (B≈192, T=192..448) the fp32
+    score round-trips are the dominant HBM traffic (B·H·T² ≈ 4.9 GB/layer
+    at B=192, T=896-equivalent packed work), which is what caps MFU at
+    ~19% (PARITY.md) — this path exists to shed it.
+
+    Query-side masking is intentionally dropped: padding *query* rows
+    produce garbage the DiT block multiplies away (``x * m``), while
+    padding *keys* are excluded via segment ids, matching
+    ``dense_attention``'s semantics at every valid position.  Sequence
+    lengths are padded to multiples of 128 (the kernel's kv tiling must
+    divide the sequence; q padding is sliced back off).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+    )
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention as _lib_flash,
+    )
+
+    B, Tq, H, Dh = q.shape
+    Tk = k.shape[1]
+
+    def pad_to(x, T, axis=1):
+        if x.shape[axis] == T:
+            return x
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (0, T - x.shape[axis])
+        return jnp.pad(x, cfg)
+
+    Tq_p = -(-Tq // 128) * 128
+    Tk_p = -(-Tk // 128) * 128
+    qp = pad_to(q, Tq_p).transpose(0, 2, 1, 3)  # (B, H, Tq_p, Dh)
+    kp = pad_to(k, Tk_p).transpose(0, 2, 1, 3)
+    vp = pad_to(v, Tk_p).transpose(0, 2, 1, 3)
+    km = kv_mask if kv_mask is not None else jnp.ones((B, Tk))
+    seg = SegmentIds(
+        q=jnp.ones((B, Tq_p), jnp.int32),
+        kv=pad_to(km.astype(jnp.int32), Tk_p),
+    )
+    blk = BlockSizes(
+        block_q=128, block_k_major=128, block_k=128, block_b=1,
+        block_q_major_dkv=128, block_k_major_dkv=128,
+        block_k_dkv=128, block_q_dkv=128,
+        block_k_major_dq=128, block_k_dq=128, block_q_dq=128,
+    )
+    o = _lib_flash(qp, kp, vp, segment_ids=seg,
+                   sm_scale=float(Dh) ** -0.5, block_sizes=blk)
+    return o.transpose(0, 2, 1, 3)[:, :Tq]
+
+
 def cross_attention(
     q: jax.Array,
     k: jax.Array,
@@ -63,6 +122,7 @@ def cross_attention(
     q_mask: jax.Array | None = None,
     kv_mask: jax.Array | None = None,
     use_flash: bool = False,
+    impl: str | None = None,
 ) -> jax.Array:
     """Cross attention with independent query/key masks.
 
@@ -80,7 +140,12 @@ def cross_attention(
     lengths ever outgrow VMEM-resident scores (T ≳ 2k), where the HBM
     round-trip it eliminates dominates.
     """
-    if use_flash:
+    impl = impl or ("fused" if use_flash else "dense")
+    if impl == "flash" and jax.default_backend() == "tpu":
+        # training-fused library kernel; off-TPU falls through to the XLA
+        # path (same math — parity is asserted on-chip)
+        return _train_flash_attention(q, k, v, kv_mask)
+    if impl == "fused":
         from .flash_attention import flash_attention, supported
 
         if supported(q.shape, k.shape):

@@ -41,6 +41,8 @@ def build_model(cfg: Config):
         overrides.setdefault("train_mode", cfg.diffusion_train_mode)
     overrides.setdefault("remat", cfg.gradient_checkpointing)
     overrides.setdefault("remat_policy", cfg.gradient_checkpointing_policy)
+    if cfg.attn_impl is not None:
+        overrides.setdefault("attn_impl", cfg.attn_impl)
     dtype = jnp.bfloat16 if cfg.use_fp16 else jnp.float32
     return get_model(cfg.model, cfg.num_tokens, overrides, dtype=dtype)
 
