@@ -105,3 +105,59 @@ def test_attn_impl_threads_to_dit_blocks():
         assert blk.attn.attn_impl == "flash"
         assert blk.cross_attn.attn_impl is None
         assert blk.cross_attn2.attn_impl is None
+
+
+def test_slot_causality_equals_pos_causality_on_packed_layout():
+    """The invariant the packed backbone's flash path relies on: with pads
+    only at segment tails, slot-order causality + key masking (what the
+    library kernel computes) equals the backbone's pos-causal mask
+    (pos = cumsum(mask)-1) at every VALID query position."""
+    from tts_with_diffusion_model_tpu.models.base import packed_layout
+
+    B = 3
+    rng = np.random.default_rng(0)
+    tm = (np.arange(6)[None] < rng.integers(2, 7, (B, 1))).astype(np.float32)
+    pm = (np.arange(10)[None] < rng.integers(3, 11, (B, 1))).astype(np.float32)
+    rm = (np.arange(8)[None] < rng.integers(2, 9, (B, 1))).astype(np.float32)
+    mask, pos, _ = packed_layout(
+        jnp.asarray(tm), jnp.asarray(pm), jnp.asarray(rm)
+    )
+    mask, pos = np.asarray(mask), np.asarray(pos)
+    T = mask.shape[1]
+
+    pos_causal = mask[:, :, None] * mask[:, None, :] * (
+        pos[:, None, :] <= pos[:, :, None]
+    )
+    slot = np.arange(T)
+    slot_causal = mask[:, None, :] * (slot[None, :] <= slot[:, None])[None]
+
+    valid_q = mask.astype(bool)
+    np.testing.assert_array_equal(
+        pos_causal[valid_q], slot_causal[valid_q]
+    )
+
+
+def test_attn_impl_threads_to_packed_backbone():
+    """attn_impl reaches every PrenormBlock's Attention in AR and NAR."""
+    from tts_with_diffusion_model_tpu.models import get_model
+
+    for name in ("ar-quarter", "nar-quarter"):
+        model = get_model(
+            name, overrides={"n_layers": 2, "attn_impl": "flash"})
+        B = 1
+        t = jnp.zeros((B, 4), jnp.int32)
+        tm = jnp.ones((B, 4))
+        pr = jnp.zeros((B, 6, 8), jnp.int32)
+        pm = jnp.ones((B, 6))
+        if name.startswith("ar"):
+            params = model.init(jax.random.PRNGKey(0), t, tm, pr, pm,
+                                jnp.zeros((B, 5), jnp.int32),
+                                jnp.ones((B, 5)))
+        else:
+            params = model.init(jax.random.PRNGKey(0), t, tm, pr, pm,
+                                jnp.zeros((B, 5, 8), jnp.int32),
+                                jnp.ones((B, 5)),
+                                jnp.zeros((B,), jnp.int32))
+        bound = model.bind(params)
+        for blk in bound.base.blocks:
+            assert blk.attn.attn_impl == "flash", name

@@ -102,6 +102,7 @@ def get_model(
         raise NotImplementedError(name)
     dims.update(
         {k: v for k, v in ov.items()
-         if k in ("d_model", "n_heads", "n_layers", "remat", "remat_policy")}
+         if k in ("d_model", "n_heads", "n_layers", "remat", "remat_policy",
+                  "attn_impl")}
     )
     return Model(num_tokens, dtype=dtype, **dims)

@@ -29,6 +29,9 @@ class AR(nn.Module):
     p_dropout: float = 0.1
     remat: bool = True
     remat_policy: str | None = None
+    #: batch-path attention impl ("flash" = fused Pallas train kernel on
+    #: TPU; models/base.py Attention.attn_impl)
+    attn_impl: str | None = None
     dtype: Any = jnp.bfloat16
 
     # Property block mirroring the reference's Base contract (``ar.py:86-105``)
@@ -69,6 +72,7 @@ class AR(nn.Module):
             norm_type="ln",
             remat=self.remat,
             remat_policy=self.remat_policy,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
         )
 

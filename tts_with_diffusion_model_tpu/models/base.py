@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import dense_attention
+from ..ops.attention import _train_flash_attention, dense_attention
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 IGNORE_INDEX = -100
@@ -164,6 +164,12 @@ class Attention(nn.Module):
     #: compute dtype for projections (fp32 master params are cast inside
     #: the matmul; ``None`` keeps promotion semantics = fp32 compute).
     dtype: Any = None
+    #: "flash" routes the batch path through the fully-fused library Pallas
+    #: kernel on TPU (ops/attention.py _train_flash_attention) — the
+    #: (B, H, T, T) score tensor never touches HBM in either pass, the
+    #: dominant training cost at packed T≈1.2k.  Decode paths are
+    #: unaffected (single-query shapes don't profit).  Off-TPU: dense.
+    attn_impl: str | None = None
 
     def setup(self):
         self.to_qkv = nn.Dense(
@@ -190,11 +196,19 @@ class Attention(nn.Module):
         q, k, v = jnp.split(self.to_qkv(x), 3, axis=-1)
         q, k, v = self._heads(q), self._heads(k), self._heads(v)
 
-        pair = mask[:, :, None] * mask[:, None, :]
-        if self.causal:
-            pair = pair * (pos[:, None, :] <= pos[:, :, None]).astype(pair.dtype)
-
-        o = dense_attention(q, k, v, pair_mask=pair)
+        if self.attn_impl == "flash" and jax.default_backend() == "tpu":
+            # pads only occur at segment tails, so pos-causality over valid
+            # tokens ≡ the kernel's slot-causality; pad keys are excluded by
+            # segment ids, pad-query garbage is zeroed by the ``* mask``
+            # below (on-chip parity: benchmarks/flash_parity.py --causal)
+            o = _train_flash_attention(q, k, v, mask, causal=self.causal)
+        else:
+            pair = mask[:, :, None] * mask[:, None, :]
+            if self.causal:
+                pair = pair * (
+                    pos[:, None, :] <= pos[:, :, None]
+                ).astype(pair.dtype)
+            o = dense_attention(q, k, v, pair_mask=pair)
         o = o.reshape(*o.shape[:-2], self.d_model)
         o = self.to_out(o) * mask[..., None].astype(x.dtype)
         if return_kv:
@@ -278,6 +292,7 @@ class PrenormBlock(nn.Module):
     norm_type: str  # "ln" | "adaln"
     n_levels: Optional[int] = None
     dtype: Any = None
+    attn_impl: Optional[str] = None
 
     def setup(self):
         if self.norm_type == "adaln":
@@ -289,7 +304,8 @@ class PrenormBlock(nn.Module):
             self.norm_attn = nn.LayerNorm(epsilon=1e-5)
             self.norm_ffn = nn.LayerNorm(epsilon=1e-5)
         self.attn = Attention(
-            self.d_model, self.n_heads, self.causal, dtype=self.dtype
+            self.d_model, self.n_heads, self.causal, dtype=self.dtype,
+            attn_impl=self.attn_impl,
         )
         self.ffn = FeedForward(self.d_model, self.p_dropout, dtype=self.dtype)
         self.drop = nn.Dropout(self.p_dropout)
@@ -384,6 +400,9 @@ class Base(nn.Module):
     remat: bool = True
     #: see models/dit.py resolve_remat_policy ("dots" saves matmul outputs)
     remat_policy: Optional[str] = None
+    #: batch-path attention impl (see Attention.attn_impl): "flash" fuses
+    #: the packed self-attention fwd+bwd on TPU
+    attn_impl: Optional[str] = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -424,6 +443,7 @@ class Base(nn.Module):
                 self.norm_type,
                 self.n_resp_levels,
                 dtype=self.dtype,
+                attn_impl=self.attn_impl,
                 name=f"block_{i}",
             )
             for i in range(self.n_layers)

@@ -30,6 +30,9 @@ class NAR(nn.Module):
     p_dropout: float = 0.1
     remat: bool = True
     remat_policy: str | None = None
+    #: batch-path attention impl ("flash" = fused Pallas train kernel on
+    #: TPU; models/base.py Attention.attn_impl)
+    attn_impl: str | None = None
     dtype: Any = jnp.bfloat16
 
     # Property block mirroring the reference contract (``nar.py:7-26``)
@@ -66,6 +69,7 @@ class NAR(nn.Module):
             norm_type="adaln",
             remat=self.remat,
             remat_policy=self.remat_policy,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
         )
 

@@ -56,7 +56,7 @@ def dense_attention(
     return out.astype(v.dtype)
 
 
-def _train_flash_attention(q, k, v, kv_mask):
+def _train_flash_attention(q, k, v, kv_mask, causal: bool = False):
     """Fully-fused flash attention (forward AND backward) for training.
 
     Routes through the library Pallas TPU kernel
@@ -70,11 +70,19 @@ def _train_flash_attention(q, k, v, kv_mask):
     ~19% (PARITY.md) — this path exists to shed it.
 
     Query-side masking is intentionally dropped: padding *query* rows
-    produce garbage the DiT block multiplies away (``x * m``), while
-    padding *keys* are excluded via segment ids, matching
-    ``dense_attention``'s semantics at every valid position.  Sequence
-    lengths are padded to multiples of 128 (the kernel's kv tiling must
-    divide the sequence; q padding is sliced back off).
+    produce garbage the caller multiplies away (``x * m`` in the DiT
+    block, ``to_out(o) * mask`` in the packed backbone), while padding
+    *keys* are excluded via segment ids, matching ``dense_attention``'s
+    semantics at every valid position.  Sequence lengths are padded to
+    multiples of 128 (the kernel's kv tiling must divide the sequence;
+    q padding is sliced back off).
+
+    ``causal=True`` serves the packed-layout backbone (models/base.py):
+    its mask is *pos*-causal (pos = cumsum(mask)-1), but pads only occur
+    at segment tails, so over valid positions pos-causality coincides
+    with the kernel's slot-causality, and pad keys are excluded by the
+    segment ids either way (asserted on-chip by benchmarks/flash_parity.py
+    --causal, which compares against the exact pos-causal dense mask).
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
@@ -110,7 +118,7 @@ def _train_flash_attention(q, k, v, kv_mask):
         block_k_dkv=128, block_q_dkv=128,
         block_k_major_dq=128, block_k_dq=128, block_q_dq=128,
     )
-    o = _lib_flash(qp, kp, vp, segment_ids=seg,
+    o = _lib_flash(qp, kp, vp, segment_ids=seg, causal=causal,
                    sm_scale=float(Dh) ** -0.5, block_sizes=blk)
     return o.transpose(0, 2, 1, 3)[:, :Tq]
 
