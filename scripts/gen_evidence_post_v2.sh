@@ -56,6 +56,12 @@ python scripts/quality_gate.py "$WORK/zoo/diffusion" "$VAL_WAV" \
     --nar-bundle "$WORK/zoo/nar" --min-acc 0 \
     | head -1 > "$EVID/heldout_gate_v2.json"
 
+# long-form seam metric on trained weights (round-3 VERDICT weak #7) —
+# reference wav: any training utterance
+REF_WAV=$(ls "$WORK"/data/train/spk00/utt00*.wav | head -1)
+python scripts/longform_seam_eval.py "$WORK/zoo/diffusion" "$WORK/zoo/nar" \
+    "$REF_WAV" --out "$EVID/longform_seam_v2.json" || true
+
 # serving zoo for the driver's bench.py (trained weights)
 mkdir -p zoo
 rm -rf zoo/diffusion zoo/nar
