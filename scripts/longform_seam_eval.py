@@ -24,10 +24,14 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# in-vocabulary for the gen-r4 synthetic corpus (scripts/make_gen_corpus.py
+# VOCAB) so the trained models see familiar phones; long enough to force
+# several segments at the production 50-phone bucket
 DEFAULT_TEXT = (
-    "the quick brown fox jumps over the lazy dog while seven wizards "
-    "watch the calm sea and forty travelers sing one long quiet song "
-    "about the bright moon above the old stone bridge"
+    "anchor bright copper drift ember fable glide harbor island jasper "
+    "kettle lumen marble north orbit pepper quiver river stone timber "
+    "under velvet willow yonder zephyr amber birch cedar dune elm fern "
+    "grove hazel iris juniper lark maple oak pine reed"
 )
 
 
