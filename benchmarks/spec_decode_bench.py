@@ -80,11 +80,15 @@ def _inputs(data_dirs, phone_symmap, n_prom_frames=60):
 
 
 def _timed(fn, iters):
-    fn()  # compile + warm
+    """fn(i) -> out; i makes each call's args distinct (the axon tunnel
+    elides identical-argument executions — same gotcha train_sweep.py
+    documents — so timing identical calls measures its cache, not the
+    decode)."""
+    fn(iters)  # compile + warm
     ts = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        out = fn()
+        out = fn(i)
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts) * 1e3), out
@@ -110,8 +114,8 @@ def main():
     ms = args.max_steps
 
     plain_ms, (ref_toks, ref_len) = _timed(
-        lambda: ar_generate(
-            target, t_params, text, tm, pr, pm, rng,
+        lambda i: ar_generate(
+            target, t_params, text, tm, pr, pm, jax.random.fold_in(rng, i),
             max_steps=ms, sampling_temperature=0.0,
         ),
         args.iters,
@@ -131,8 +135,9 @@ def main():
 
     for k in args.k:
         spec_ms, (toks, lens, stats) = _timed(
-            lambda: ar_generate_speculative(
-                target, t_params, draft, d_params, text, tm, pr, pm, rng,
+            lambda i, k=k: ar_generate_speculative(
+                target, t_params, draft, d_params, text, tm, pr, pm,
+                jax.random.fold_in(rng, i),
                 max_steps=ms, k=k, sampling_temperature=0.0,
                 with_stats=True,
             ),
