@@ -493,8 +493,14 @@ class Base(nn.Module):
         )
         for block in self.blocks:
             if self.remat:
+                # prevent_cse must stay True (the default) outside
+                # lax.scan: with it False, XLA CSEs the rematted forward
+                # against the original and silently KEEPS every block
+                # activation — measured on-chip at the gen4b AR shapes
+                # (B=64, packed T=770, d1024/16/12): 23.5 GB at compile
+                # (OOM) vs 5.9 GB with CSE prevented.
                 fn = nn.remat(
-                    type(block).__call__, static_argnums=(5,), prevent_cse=False,
+                    type(block).__call__, static_argnums=(5,),
                     policy=resolve_remat_policy(self.remat_policy),
                 )
                 x = fn(block, x, mask, level, pos, deterministic)
