@@ -56,7 +56,7 @@ done
 # training curves + the per-tick val metrics the trainer wrote
 for m in diffusion nar; do
   run_dir=$(ls -td "$WORK"/logs/gen4/$m/* | head -1)
-  grep -h '"loss"' "$run_dir/log.txt" > "$EVID/${m}_train.jsonl" || true
+  grep -h '"model.loss"' "$run_dir/log.txt" > "$EVID/${m}_train.jsonl" || true
   for mj in $(find "$WORK"/logs/gen4/$m -name metrics.json | sort); do
     step=$(python -c "import json,sys;print(json.load(open('$mj'))['mean']['global_step'])")
     name=$(python -c "import json,sys;print(json.load(open('$mj'))['mean']['name'])")

@@ -30,7 +30,7 @@ for m in ar ar_quarter; do
 done
 
 run_dir=$(ls -td "$WORK"/logs/gen4/ar/* | head -1)
-grep -h '"loss"' "$run_dir/log.txt" > "$EVID/ar_train.jsonl" || true
+grep -h '"model.loss"' "$run_dir/log.txt" > "$EVID/ar_train.jsonl" || true
 for mj in $(find "$WORK"/logs/gen4/ar -name metrics.json | sort); do
   step=$(python -c "import json;print(json.load(open('$mj'))['mean']['global_step'])")
   name=$(python -c "import json;print(json.load(open('$mj'))['mean']['name'])")

@@ -52,7 +52,7 @@ fi
 
 # ---- 5. pick the val-loss minimum tick, export that model -----------------
 run_dir=$(ls -td "$WORK"/logs/gen4b/diffusion/* | head -1)
-grep -h '"loss"' "$run_dir/log.txt" > "$EVID/diffusion_v2_train.jsonl" || true
+grep -h '"model.loss"' "$run_dir/log.txt" > "$EVID/diffusion_v2_train.jsonl" || true
 grep -h "'name': 'val'" "$run_dir/log.txt" > "$EVID/diffusion_v2_val.jsonl" || true
 BEST=$(python - "$run_dir/log.txt" <<'EOF'
 import re, sys

@@ -31,7 +31,7 @@ if [ ! -d "$WORK/zoo/nar" ]; then
   python -m $PKG.train "yaml=config/gen4b/nar.yml" < /dev/null || exit 1
   python -m $PKG.export "$WORK/zoo/nar" "yaml=config/gen4b/nar.yml" --ema || exit 1
   run_dir=$(ls -td "$WORK"/logs/gen4b/nar/* | head -1)
-  grep -h '"loss"' "$run_dir/log.txt" > "$EVID/nar_v2_train.jsonl" || true
+  grep -h '"model.loss"' "$run_dir/log.txt" > "$EVID/nar_v2_train.jsonl" || true
   for mj in $(find "$WORK"/logs/gen4b/nar -name metrics.json | sort); do
     step=$(python -c "import json;print(json.load(open('$mj'))['mean']['global_step'])")
     name=$(python -c "import json;print(json.load(open('$mj'))['mean']['name'])")
@@ -50,7 +50,7 @@ for m in ar ar_quarter; do
   fi
 done
 run_dir=$(ls -td "$WORK"/logs/gen4b/ar/* | head -1)
-grep -h '"loss"' "$run_dir/log.txt" > "$EVID/ar_v2_train.jsonl" || true
+grep -h '"model.loss"' "$run_dir/log.txt" > "$EVID/ar_v2_train.jsonl" || true
 for mj in $(find "$WORK"/logs/gen4b/ar -name metrics.json | sort); do
   step=$(python -c "import json;print(json.load(open('$mj'))['mean']['global_step'])")
   name=$(python -c "import json;print(json.load(open('$mj'))['mean']['name'])")
