@@ -57,9 +57,9 @@ def main():
                          "and recomputes only between them "
                          "(models/base.py resolve_remat_policy)")
     ap.add_argument("--attn-impl", default=None,
-                    help="DiT self-attention impl: 'flash' = fully-fused "
-                         "library Pallas kernel (fwd+bwd), default dense "
-                         "XLA (diffusion model only)")
+                    help="training self-attention impl for all three "
+                         "families: 'flash' = fully-fused library Pallas "
+                         "kernel (fwd+bwd), default dense XLA")
     ap.add_argument("--text-len", type=int, default=50)
     ap.add_argument("--prom-len", type=int, default=398)
     ap.add_argument("--resp-len", type=int, default=448)

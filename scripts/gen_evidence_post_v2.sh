@@ -40,8 +40,8 @@ python scripts/heldout_eval.py "$WORK/zoo/diffusion_last" \
 FIRST=$(python - "$EVID" <<'EOF'
 import json, sys
 e = sys.argv[1]
-a = json.load(open(f"{e}/heldout_fullstack_v2_bestloss.json"))["mean"]["acc"]
-b = json.load(open(f"{e}/heldout_fullstack_v2_last.json"))["mean"]["acc"]
+a = json.load(open(f"{e}/heldout_fullstack_v2_bestloss.json"))["summary"]["mean"]["acc"]
+b = json.load(open(f"{e}/heldout_fullstack_v2_last.json"))["summary"]["mean"]["acc"]
 print("diffusion" if a >= b else "diffusion_last")
 EOF
 )

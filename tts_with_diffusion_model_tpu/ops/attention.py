@@ -129,14 +129,13 @@ def cross_attention(
     v: jax.Array,
     q_mask: jax.Array | None = None,
     kv_mask: jax.Array | None = None,
-    use_flash: bool = False,
     impl: str | None = None,
 ) -> jax.Array:
     """Cross attention with independent query/key masks.
 
     q: (B, Tq, H, Dh); k, v: (B, Tk, H, Dh); masks (B, Tq) / (B, Tk).
 
-    ``use_flash=True`` routes through the fused Pallas kernel
+    ``impl="fused"`` routes through the repo's forward-fused Pallas kernel
     (``ops/flash_attention.py``: layout-preserving blocks, vector masks,
     dense-recompute backward).  Default is the XLA path: measured on the
     attached chip at this workload's shapes, XLA's fused attention wins —
@@ -148,7 +147,7 @@ def cross_attention(
     lengths ever outgrow VMEM-resident scores (T ≳ 2k), where the HBM
     round-trip it eliminates dominates.
     """
-    impl = impl or ("fused" if use_flash else "dense")
+    impl = impl or "dense"
     if impl == "flash" and jax.default_backend() == "tpu":
         # training-fused library kernel; off-TPU falls through to the XLA
         # path (same math — parity is asserted on-chip)
