@@ -57,6 +57,20 @@ def main():
         "--batch-sizes", default="8",
         help="comma-separated device batch sizes for the d3pm_batch stage",
     )
+    parser.add_argument(
+        "--bundle", type=Path, default=None,
+        help="trained D3PM export bundle for the first stage "
+             "(e.g. zoo/diffusion); random init otherwise",
+    )
+    parser.add_argument(
+        "--nar-bundle", type=Path, default=None,
+        help="trained NAR export bundle (e.g. zoo/nar); the NAR model is "
+             "built from the bundle's architecture instead of nar-half",
+    )
+    parser.add_argument(
+        "--ar-bundle", type=Path, default=None,
+        help="trained AR export bundle for the ar stage",
+    )
     args = parser.parse_args()
     stages = set(args.stages.split(","))
 
@@ -73,6 +87,15 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     results = {}
+    weights = {}  # stage -> "trained" | "random" (disclosed per metric)
+
+    def from_bundle(path):
+        """(model, params) from an export bundle's own architecture."""
+        from tts_with_diffusion_model_tpu.__main__ import build_model
+        from tts_with_diffusion_model_tpu.export import load_bundle
+
+        params, meta, _, _ = load_bundle(path)
+        return build_model(meta), params
 
     # shared prompt/text fixtures
     Tt, Tp, Tr = 20, 225, 350
@@ -83,9 +106,14 @@ def main():
 
     dm = d_params = None
     if {"d3pm", "d3pm_batch", "e2e", "e2e_fused"} & stages:
-        dm = get_model("diffusion")
+        if args.bundle:
+            dm, d_params = from_bundle(args.bundle)
+            weights["d3pm"] = weights["e2e"] = "trained"
+        else:
+            dm = get_model("diffusion")
+            d_params = dm.init(rng)
+            weights["d3pm"] = weights["e2e"] = "random"
         c = dm.config
-        d_params = dm.init(rng)
         if args.bf16:
             from tts_with_diffusion_model_tpu.utils.precision import (
                 cast_params_bf16,
@@ -130,12 +158,17 @@ def main():
 
     if "ar" in stages:
         # ---------- AR stage (KV-cache decoder) ----------
-        ar = get_model("ar")  # full-size 1024/16/12 (registry default)
         steps = Tr
-        a_params = ar.init(
-            rng, a_text, a_tm, a_pr, a_pm, jnp.zeros((1, 4), jnp.int32),
-            jnp.ones((1, 4), jnp.float32),
-        )
+        if args.ar_bundle:
+            ar, a_params = from_bundle(args.ar_bundle)
+            weights["ar"] = "trained"
+        else:
+            ar = get_model("ar")  # full-size 1024/16/12 (registry default)
+            a_params = ar.init(
+                rng, a_text, a_tm, a_pr, a_pm, jnp.zeros((1, 4), jnp.int32),
+                jnp.ones((1, 4), jnp.float32),
+            )
+            weights["ar"] = "random"
         if args.bf16:
             from tts_with_diffusion_model_tpu.utils.precision import (
                 cast_params_bf16,
@@ -154,12 +187,19 @@ def main():
     nar = n_params = None
     n_rm = jnp.ones((1, Tr), jnp.float32)
     if {"nar", "e2e", "e2e_fused"} & stages:
-        nar = get_model("nar-half")
-        n_resps = jnp.zeros((1, Tr, 8), jnp.int32)
-        n_params = nar.init(
-            rng, a_text, a_tm, a_pr, a_pm, n_resps, n_rm,
-            jnp.zeros((1,), jnp.int32),
-        )
+        if args.nar_bundle:
+            nar, n_params = from_bundle(args.nar_bundle)
+            weights["nar"] = "trained"
+        else:
+            nar = get_model("nar-half")
+            n_resps = jnp.zeros((1, Tr, 8), jnp.int32)
+            n_params = nar.init(
+                rng, a_text, a_tm, a_pr, a_pm, n_resps, n_rm,
+                jnp.zeros((1,), jnp.int32),
+            )
+            weights["nar"] = "random"
+        if weights.get("e2e") == "trained" and weights["nar"] != "trained":
+            weights["e2e"] = "random"
 
     codes = jnp.zeros((1, Tr, 8), jnp.int32)
     if "nar" in stages:
@@ -272,6 +312,9 @@ def main():
         line = {"metric": k, "value": round(float(v), 2)}
         if k in baselines:
             line["vs_baseline"] = round(float(v) / baselines[k], 3)
+        for stage, tag in weights.items():
+            if k.startswith(stage):
+                line["weights"] = tag
         print(json.dumps(line))
 
 
