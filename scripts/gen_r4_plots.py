@@ -102,6 +102,9 @@ def main():
                     type=Path)
     ap.add_argument("--prefix", default="diffusion_v2")
     ap.add_argument("--out", type=Path, default=None)
+    ap.add_argument("--title", default="D3PM generalization on the "
+                    "32-speaker synthetic corpus (95/5 held-out split)")
+    ap.add_argument("--acc-label", default="generated level-0\ntoken accuracy")
     args = ap.parse_args()
     evid = args.evidence
     out = args.out or evid / "curves.png"
@@ -125,9 +128,12 @@ def main():
         ax1.plot(va_s, va_l, color=C_VAL, lw=2, marker="o", ms=4, zorder=4,
                  label="val loss (held-out utterances)")
         i = min(range(len(va_l)), key=va_l.__getitem__)
+        # flip the label leftward when the minimum sits at the curve's end
+        left = i >= len(va_l) - 2
         ax1.annotate(f"val min {va_l[i]:.3f} @ {va_s[i]}",
                      (va_s[i], va_l[i]), textcoords="offset points",
-                     xytext=(8, -14), fontsize=9, color=INK)
+                     xytext=(-8 if left else 8, -14), fontsize=9, color=INK,
+                     ha="right" if left else "left")
         ax1.scatter([va_s[i]], [va_l[i]], s=46, facecolor="white",
                     edgecolor=C_VAL, lw=2, zorder=5)
     ax1.set_ylabel("cross-entropy loss", fontsize=10, color=INK)
@@ -146,8 +152,7 @@ def main():
         ax2.annotate("chance (1/1024)", (x_right, 1 / 1024),
                      textcoords="offset points", xytext=(-90, 5),
                      fontsize=9, color=INK_2)
-    ax2.set_ylabel("generated level-0\ntoken accuracy", fontsize=10,
-                   color=INK)
+    ax2.set_ylabel(args.acc_label, fontsize=10, color=INK)
     ax2.set_yscale("log")
     ax2.legend(frameon=False, fontsize=9, loc="upper left")
 
@@ -165,10 +170,7 @@ def main():
     for ax in (ax1, ax2, ax3):
         style_axis(ax)
 
-    fig.suptitle(
-        "D3PM generalization on the 32-speaker synthetic corpus "
-        "(95/5 held-out split)", fontsize=11, color=INK, y=0.995,
-    )
+    fig.suptitle(args.title, fontsize=11, color=INK, y=0.995)
     fig.savefig(out, bbox_inches="tight")
     print(f"wrote {out}")
 
