@@ -137,11 +137,26 @@ def main():
         span = min(len(ref), gl)
         hyp = np.asarray(resps[i][:span])          # (span, 8)
         hyp_wav, sr = qnt.decode(hyp.T)
+        hyp_wav = np.asarray(hyp_wav).reshape(-1)
         ref_wav, _ = read_wav(p.parent / (p.name.split(".")[0] + ".wav"))
+        ref_wav = np.asarray(ref_wav).reshape(-1)
+        # ``mcd`` scores against the codec ROUND-TRIP of the ground-truth
+        # codes, so both sides share the codec and the number isolates the
+        # TTS stack (the trainer-eval convention, train/train.py).  The
+        # raw-recording comparison is kept as ``mcd_vs_raw`` next to the
+        # utterance's own ``codec_floor_mcd`` (round-trip vs raw): on this
+        # synthetic corpus pure-tone spectral valleys make any codec's
+        # absolute floor enormous (~350), swamping stack quality.
+        rt_wav, _ = qnt.decode(np.asarray(ref[:span]).T)
+        rt_wav = np.asarray(rt_wav).reshape(-1)
         m = eval_utterance_metrics(
-            hyp, ref[:span],
-            hyp_wav=np.asarray(hyp_wav).reshape(-1),
-            ref_wav=np.asarray(ref_wav).reshape(-1), sr=sr)
+            hyp, ref[:span], hyp_wav=hyp_wav, ref_wav=rt_wav, sr=sr)
+        m_raw = eval_utterance_metrics(
+            hyp, ref[:span], hyp_wav=hyp_wav, ref_wav=ref_wav, sr=sr)
+        floor = eval_utterance_metrics(
+            ref[:span], ref[:span], hyp_wav=rt_wav, ref_wav=ref_wav, sr=sr)
+        m["mcd_vs_raw"] = m_raw["mcd"]
+        m["codec_floor_mcd"] = floor["mcd"]
         per_utt.append(m)
 
     mean = aggregate_metrics(per_utt)
