@@ -41,6 +41,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
+PEAK_HBM_BPS = float(os.environ.get("BENCH_PEAK_HBM_BPS", 819e9))  # v5e
 
 
 def main():
@@ -152,7 +153,7 @@ def main():
                 import jax.numpy as jnp
 
                 lowered = eng._train_step.lower(
-                    eng.params, eng.opt_state,
+                    eng.params, eng.opt_state, eng.ema_params,
                     {k: jnp.asarray(v) for k, v in tbatch.items()},
                     jax.random.PRNGKey(0),
                 )
@@ -160,8 +161,9 @@ def main():
                 if isinstance(cost, (list, tuple)):
                     cost = cost[0]
                 flops = float(cost.get("flops", 0.0)) or None
+                hbm_bytes = float(cost.get("bytes accessed", 0.0)) or None
             except Exception:
-                flops = None
+                flops = hbm_bytes = None
 
             # Warmup ×2 (layout recompile on step 2 — Engine docstring).
             eng.train_batch(tbatch, jax.random.PRNGKey(10_000))
@@ -191,6 +193,15 @@ def main():
             if flops:
                 row["step_tflop"] = round(flops / 1e12, 3)
                 row["mfu"] = round(flops / dt / PEAK_FLOPS, 4)
+            if hbm_bytes:
+                # roofline legs: the step can't run faster than either the
+                # MXU floor (flops/peak) or the HBM floor (bytes/peak BW);
+                # whichever floor is nearer the measured time is binding.
+                row["step_gb"] = round(hbm_bytes / 1e9, 2)
+                row["hbm_floor_ms"] = round(hbm_bytes / PEAK_HBM_BPS * 1e3, 1)
+                if flops:
+                    row["mxu_floor_ms"] = round(flops / PEAK_FLOPS * 1e3, 1)
+                    row["intensity_flop_per_byte"] = round(flops / hbm_bytes, 1)
             rows.append(row)
             print(json.dumps(row), flush=True)
         except Exception as e:  # OOM at large B ends the sweep gracefully
