@@ -136,13 +136,16 @@ class Codec:
         return np.asarray(z[0])
 
     def decode(self, codes: np.ndarray) -> tuple[np.ndarray, int]:
-        """codes: (Q, frames) or (B, Q, frames) → (wav float (T,), sr)
+        """codes: (Q, frames) → (wav float (T,), sr), or batched
+        (B, Q, frames) → (wav float (B, T), sr)
         (≡ ``qnt.decode``, ``emb/qnt.py:32-43``)."""
         c = jnp.asarray(codes, jnp.int32)
-        if c.ndim == 2:
+        batched = c.ndim == 3
+        if not batched:
             c = c[None]
         wav = self._decode(self.params, c)
-        return np.asarray(wav[0, :, 0]), SAMPLE_RATE
+        wav = np.asarray(wav[..., 0])
+        return (wav if batched else wav[0]), SAMPLE_RATE
 
 
 _cached: Codec | None = None

@@ -237,28 +237,58 @@ def main(cfg: Config | None = None):
             ]
 
         from ..audio.wavio import write_wav
+        from ..codec.encodec import HOP
         from ..utils.metrics import aggregate_metrics, eval_utterance_metrics
+
+        def decode_rows(rows):
+            """Batch-decode a list of (t_i, q) code arrays in ONE codec call.
+
+            Per-row decode compiles one XLA program per DISTINCT length —
+            the AR eval's generated lengths are model-chosen, so its first
+            tick paid ~45 min of tunnel compiles for ~64 lengths.  Pad every
+            row to the batch max rounded up to 64 frames (edge-replicated
+            codes, so the convolutional decoder sees signal-like context
+            rather than a zero cliff), decode once, slice each wav back to
+            its row's t_i·HOP samples.  Eval-dump-only path: the few frames
+            of receptive-field overlap with the replicated tail differ
+            imperceptibly from an exact-length decode.
+            """
+            lens = [len(r) for r in rows]
+            T = -(-max(lens) // 64) * 64
+            padded = np.stack([
+                np.concatenate(
+                    [r, np.repeat(r[-1:], T - len(r), axis=0)], axis=0)
+                for r in rows
+            ])  # (B, T, q)
+            wavs, sr = qnt.decode(np.moveaxis(padded, 1, 2))
+            return [wavs[i, : lens[i] * HOP] for i in range(len(rows))], sr
 
         # The NAR is *given* ground-truth level 0 (it only generates levels
         # 1+), so scoring level 0 would pad 'acc' with a guaranteed-perfect
         # level; report it as teacher-provided instead.
         teacher_levels = 1 if cfg.model.startswith("nar") else 0
+        refs = [
+            np.asarray(batch["resps"][i][: int(batch["resp_mask"][i].sum())])
+            for i in range(len(batch["path"]))
+        ]
+        ref_wavs, sr = decode_rows(refs)
+        nonempty = [i for i, h in enumerate(hyps) if len(h) > 0]
+        hyp_wavs = {}
+        if nonempty:
+            ws, _ = decode_rows([np.asarray(hyps[i]) for i in nonempty])
+            hyp_wavs = dict(zip(nonempty, ws))
         per_utt = []
         for i, path in enumerate(batch["path"]):
             rel = Path(path).name.split(".")[0]
-            n = int(batch["resp_mask"][i].sum())
-            ref = np.asarray(batch["resps"][i][:n])
             hyp_path = out_root / "hyp" / f"{rel}.wav"
             ref_path = out_root / "ref" / f"{rel}.wav"
             hyp_path.parent.mkdir(parents=True, exist_ok=True)
             ref_path.parent.mkdir(parents=True, exist_ok=True)
-            ref_wav, sr = qnt.decode(ref.T)
-            write_wav(ref_path, ref_wav, sr)
-            if len(hyps[i]) > 0:
-                hyp_wav, _ = qnt.decode(np.asarray(hyps[i]).T)
-                write_wav(hyp_path, hyp_wav, sr)
+            write_wav(ref_path, ref_wavs[i], sr)
+            if i in hyp_wavs:
+                write_wav(hyp_path, hyp_wavs[i], sr)
                 per_utt.append(eval_utterance_metrics(
-                    hyps[i], ref, hyp_wav, ref_wav, sr,
+                    hyps[i], refs[i], hyp_wavs[i], ref_wavs[i], sr,
                     teacher_levels=teacher_levels))
             else:
                 per_utt.append({"len_ratio": 0.0, "acc": 0.0})
