@@ -114,6 +114,9 @@ def main():
             d_params = dm.init(rng)
             weights["d3pm"] = weights["e2e"] = "random"
         c = dm.config
+        # a bundle exported with a smaller generation window caps the
+        # response span (else the [:, :Tr] clamp under-fills the NAR mask)
+        Tr = min(Tr, c.gen_len)
         if args.bf16:
             from tts_with_diffusion_model_tpu.utils.precision import (
                 cast_params_bf16,
@@ -218,9 +221,14 @@ def main():
         from tts_with_diffusion_model_tpu.train.engine import Engine
 
         if dm is None:
-            dm = get_model("diffusion")
+            if args.bundle:
+                dm, d_params = from_bundle(args.bundle)
+                weights["d3pm"] = "trained"
+            else:
+                dm = get_model("diffusion")
+                d_params = dm.init(rng)
+                weights["d3pm"] = "random"
             c = dm.config
-            d_params = dm.init(rng)
         B = 24
         rng_np = np.random.default_rng(0)
         tbatch = dict(

@@ -81,6 +81,10 @@ def read_metrics(evid: Path, prefix: str, split: str):
     rows = []
     for p in evid.glob(f"metrics_{prefix}_{split}_step*.json"):
         d = json.load(open(p))["mean"]
+        # a tick whose hypotheses were all empty aggregates without
+        # 'mcd' (and possibly 'acc') — skip it rather than crash
+        if "acc" not in d or "mcd" not in d:
+            continue
         rows.append((int(d["global_step"]), float(d["acc"]), float(d["mcd"])))
     rows.sort()
     return ([r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows])

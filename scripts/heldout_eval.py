@@ -68,6 +68,7 @@ def main():
     from tts_with_diffusion_model_tpu.utils.metrics import (
         aggregate_metrics,
         eval_utterance_metrics,
+        mel_cepstral_distortion,
     )
 
     params, meta, phone_symmap, _ = load_bundle(args.bundle)
@@ -151,12 +152,9 @@ def main():
         rt_wav = np.asarray(rt_wav).reshape(-1)
         m = eval_utterance_metrics(
             hyp, ref[:span], hyp_wav=hyp_wav, ref_wav=rt_wav, sr=sr)
-        m_raw = eval_utterance_metrics(
-            hyp, ref[:span], hyp_wav=hyp_wav, ref_wav=ref_wav, sr=sr)
-        floor = eval_utterance_metrics(
-            ref[:span], ref[:span], hyp_wav=rt_wav, ref_wav=ref_wav, sr=sr)
-        m["mcd_vs_raw"] = m_raw["mcd"]
-        m["codec_floor_mcd"] = floor["mcd"]
+        m["mcd_vs_raw"] = mel_cepstral_distortion(hyp_wav, ref_wav, sr)["mcd"]
+        m["codec_floor_mcd"] = mel_cepstral_distortion(
+            rt_wav, ref_wav, sr)["mcd"]
         per_utt.append(m)
 
     mean = aggregate_metrics(per_utt)

@@ -55,7 +55,9 @@ def main():
     )
     ap.add_argument(
         "--max-mcd", type=float, default=None,
-        help="with --nar-bundle: fail the gate if DTW-MCD (dB) exceeds this",
+        help="with --nar-bundle: fail the gate if the CODEC-CONTROLLED "
+             "DTW-MCD (dB; hyp vs the ground-truth codes' round-trip, NOT "
+             "vs the raw recording — that is mcd_vs_raw) exceeds this",
     )
     ap.add_argument("--nar-temperature", type=float, default=0.2)
     args = ap.parse_args()
@@ -145,12 +147,14 @@ def main():
         rt_wav = np.asarray(rt_wav).reshape(-1)
         m = eval_utterance_metrics(
             hyp_codes, ref_codes, hyp_wav=hyp_wav, ref_wav=rt_wav, sr=sr)
-        m["mcd_vs_raw"] = eval_utterance_metrics(
-            hyp_codes, ref_codes, hyp_wav=hyp_wav, ref_wav=ref_wav,
-            sr=sr)["mcd"]
-        m["codec_floor_mcd"] = eval_utterance_metrics(
-            ref_codes, ref_codes, hyp_wav=rt_wav, ref_wav=ref_wav,
-            sr=sr)["mcd"]
+        from tts_with_diffusion_model_tpu.utils.metrics import (
+            mel_cepstral_distortion,
+        )
+
+        m["mcd_vs_raw"] = mel_cepstral_distortion(
+            hyp_wav, ref_wav, sr)["mcd"]
+        m["codec_floor_mcd"] = mel_cepstral_distortion(
+            rt_wav, ref_wav, sr)["mcd"]
         report["full_stack"] = {
             k: round(float(v), 4) for k, v in m.items()
         }
