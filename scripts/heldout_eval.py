@@ -12,6 +12,12 @@ reference's CLI (``vall_e/__main__.py:66-73``) evaluated on data the models
 never saw (split: the trainer's own 95/5 seed-0 partition via
 ``create_datasets``).
 
+The first-stage bundle may be any diffusion-family model (fixed-window
+``generate``/``generate_maskgit``) or the AR (the reference's primary
+first stage, ``ar.py:86-169``): AR bundles are auto-detected and decoded
+with ``ar_generate`` (stop-token pruned, model-chosen lengths — scored
+exactly like the trainer's AR eval, ``train/train.py decode_eval_audio``).
+
 Prompts follow the training convention (``vall_e/data.py:136-155``): codes
 of *other* utterances of the same speaker, drawn from the TRAIN split.
 
@@ -57,6 +63,7 @@ def main():
                     default="ancestral")
     ap.add_argument("--maskgit-steps", type=int, default=12)
     ap.add_argument("--nar-temperature", type=float, default=0.2)
+    ap.add_argument("--ar-temperature", type=float, default=1.0)
     args = ap.parse_args()
 
     import jax
@@ -73,7 +80,19 @@ def main():
 
     params, meta, phone_symmap, _ = load_bundle(args.bundle)
     model = build_model(meta)
-    c = model.config
+    is_ar = meta["model"].lower().startswith("ar")
+    bucket = args.resp_bucket
+    if is_ar:
+        # The AR has no fixed windows (packed positions); build inputs at
+        # the training regime's shapes (config/gen4b/ar.yml buckets).
+        text_len = cfg.max_text_len
+        prom_cap = getattr(cfg, "prom_len_buckets", None)
+        prom_len = min(cfg.max_prom_len, max(prom_cap) if prom_cap else cfg.max_prom_len)
+        gl = bucket
+    else:
+        c = model.config
+        text_len, prom_len = c.text_len, c.prom_len
+        gl = min(bucket, c.gen_len)
     nar_params, nar_meta, _, _ = load_bundle(args.nar_bundle)
     nar = build_model(nar_meta)
 
@@ -91,21 +110,21 @@ def main():
                                          size=min(args.n, len(vals)),
                                          replace=False)]
 
-    N, bucket = len(picks), args.resp_bucket
-    text = np.zeros((N, c.text_len), np.int32)
-    tm = np.zeros((N, c.text_len), np.float32)
-    pr = np.zeros((N, c.prom_len, 8), np.int32)
-    pm = np.zeros((N, c.prom_len), np.float32)
+    N = len(picks)
+    text = np.zeros((N, text_len), np.int32)
+    tm = np.zeros((N, text_len), np.float32)
+    pr = np.zeros((N, prom_len, 8), np.int32)
+    pm = np.zeros((N, prom_len), np.float32)
     refs = []
     for i, p in enumerate(picks):
         ids = phones_to_ids(list(get_phones(p)), phone_symmap,
-                            strict=False)[: c.text_len]
+                            strict=False)[: text_len]
         text[i, : len(ids)] = ids
         tm[i, : len(ids)] = 1.0
         pool = train_by_spkr[get_spkr(p)]
         take = rng.choice(len(pool), size=min(3, len(pool)), replace=False)
         q = np.concatenate([load_quants(pool[j]) for j in take],
-                           axis=0)[: c.prom_len]
+                           axis=0)[: prom_len]
         pr[i, : q.shape[0]] = q
         pm[i, : q.shape[0]] = 1.0
         refs.append(np.asarray(load_quants(p)))  # (t, 8)
@@ -113,9 +132,26 @@ def main():
     # One batched first-stage call (fixed bucket → one compile); the D3PM
     # generates a fixed window — score each row on its reference's span,
     # the trainer's own convention (train/train.py decode_eval_audio).
+    # The AR chooses its own lengths (stop token): score each row on its
+    # generated span, with ``len_ratio`` reporting pacing.
     key = jax.random.PRNGKey(args.seed)
-    gl = min(bucket, c.gen_len)
-    if args.decode == "maskgit":
+    if is_ar:
+        from tts_with_diffusion_model_tpu.models.ar import ar_generate
+
+        toks, lens = ar_generate(
+            model, params, jnp.asarray(text), jnp.asarray(tm),
+            jnp.asarray(pr), jnp.asarray(pm), key, max_steps=bucket,
+            sampling_temperature=args.ar_temperature)
+        gen_lens = np.minimum(np.asarray(lens), bucket).astype(np.int64)
+        # junk past each stop token (and the stop id itself) must not reach
+        # the NAR's level-0 embedding table: zero outside the valid span
+        level0 = np.where(
+            np.arange(bucket)[None, :] < gen_lens[:, None],
+            np.clip(np.asarray(toks)[:, :bucket], 0, model.n_tokens - 1), 0)
+        out = jnp.asarray(level0.astype(np.int32))
+        rm = (np.arange(bucket)[None, :]
+              < gen_lens[:, None]).astype(np.float32)
+    elif args.decode == "maskgit":
         out = model.generate_maskgit(
             params, jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
             jnp.asarray(pm), key, gen_len=gl, resp_bucket=bucket,
@@ -124,9 +160,10 @@ def main():
         out = model.generate(
             params, jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
             jnp.asarray(pm), key, gen_len=gl, resp_bucket=bucket)
-    rm = np.zeros((N, bucket), np.float32)
-    for i, ref in enumerate(refs):
-        rm[i, : min(len(ref), gl)] = 1.0
+    if not is_ar:
+        rm = np.zeros((N, bucket), np.float32)
+        for i, ref in enumerate(refs):
+            rm[i, : min(len(ref), gl)] = 1.0
     resps = nar_generate(
         nar, nar_params, jnp.asarray(text), jnp.asarray(tm), jnp.asarray(pr),
         jnp.asarray(pm), out[:, :bucket], jnp.asarray(rm),
@@ -136,7 +173,11 @@ def main():
     per_utt = []
     for i, (p, ref) in enumerate(zip(picks, refs)):
         span = min(len(ref), gl)
-        hyp = np.asarray(resps[i][:span])          # (span, 8)
+        hspan = int(gen_lens[i]) if is_ar else span
+        if hspan == 0:  # AR emitted an immediate stop (trainer convention)
+            per_utt.append({"len_ratio": 0.0, "acc": 0.0})
+            continue
+        hyp = np.asarray(resps[i][:hspan])         # (hspan, 8)
         hyp_wav, sr = qnt.decode(hyp.T)
         hyp_wav = np.asarray(hyp_wav).reshape(-1)
         ref_wav, _ = read_wav(p.parent / (p.name.split(".")[0] + ".wav"))
@@ -162,7 +203,9 @@ def main():
         m["path"] = str(p)
     summary = {
         "n_utts": N,
-        "decode": args.decode,
+        "first_stage": meta["model"],
+        "decode": ("ar" if is_ar else args.decode),
+        **({"ar_temperature": args.ar_temperature} if is_ar else {}),
         "bundle": str(args.bundle),
         "nar_bundle": str(args.nar_bundle),
         "split": "val (trainer 95/5 seed-0; eval ∩ train = ∅)",

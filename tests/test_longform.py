@@ -209,11 +209,18 @@ def test_longform_one_shot_decode_is_seam_free(zoo, synth):
         [synth.decode_codes(p)[0] for p in pieces], axis=-1)
 
     seam_one = seam_spectral_flux(one_shot, sr, boundaries)
-    seam_spliced = seam_spectral_flux(spliced, sr, boundaries)
-    # one-shot decode may not be rougher at the joins than hard splicing
-    assert (seam_one["seam_flux_ratio_max"]
-            <= seam_spliced["seam_flux_ratio_max"] + 1e-6)
-    # and its joins stay within ordinary signal variation (ratio O(1));
-    # random-weight codec audio is already rough, so the bound is loose —
-    # trained-model evidence lands in benchmarks/gen_r4
+    # Deterministic structural claims only.  The comparative claim (one-shot
+    # joins smoother than hard splices) is measured on TRAINED weights in
+    # benchmarks/gen_r4/longform_seam_v2.json (1.158 vs 1.510 mean ratio);
+    # on the random-weight fixture codec both decodes are uniformly rough,
+    # so their per-boundary flux ordering is coin-flip noise — the metric's
+    # click-detection power is pinned separately in test_metrics.py.
+    assert len(seam_one["seam_flux_ratios"]) == len(boundaries)
+    assert all(np.isfinite(seam_one["seam_flux_ratios"]))
+    # one-shot joins stay within ordinary signal variation (ratio O(1));
+    # random-weight codec audio is already rough, so the bound is loose
     assert seam_one["seam_flux_ratio_max"] < 4.0
+    # the convolutional context effect is real: a per-segment decode sees
+    # zero left context, so splicing cannot reproduce the one-shot samples
+    assert one_shot.shape == spliced.shape
+    assert not np.allclose(one_shot, spliced)
