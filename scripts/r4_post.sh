@@ -27,7 +27,18 @@ if [ -d "$WORK/zoo/ar" ] && [ ! -f "$EVID/heldout_fullstack_ar_v2.json" ]; then
     "yaml=config/gen4b/ar.yml" || echo "AR full-stack eval FAILED"
 fi
 
-stage "2/2 training sweeps (r4_sweeps.sh)"
+stage "2/3 e2e timing on trained bundles (full_pipeline.py)"
+if [ ! -f "$EVID/full_pipeline_trained_v2.jsonl" ]; then
+  # zoo/{diffusion,nar} = the full-stack winner the post_v2 stage installed
+  # for serving (step-12000 tick); the AR bundle lives in the workdir zoo
+  python benchmarks/full_pipeline.py --bf16 --runs 7 \
+    --bundle zoo/diffusion --nar-bundle zoo/nar \
+    --ar-bundle "$WORK/zoo/ar" \
+    | tee "$EVID/full_pipeline_trained_v2.jsonl" \
+    || echo "full_pipeline FAILED"
+fi
+
+stage "3/3 training sweeps (r4_sweeps.sh)"
 if [ ! -f "$EVID/sweeps/diffusion_flash.jsonl" ]; then
   bash scripts/r4_sweeps.sh "$EVID/sweeps"
 fi
