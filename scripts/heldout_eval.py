@@ -170,16 +170,51 @@ def main():
         jax.random.PRNGKey(args.seed + 1),
         sampling_temperature=args.nar_temperature)
 
-    per_utt = []
+    from tts_with_diffusion_model_tpu.codec.encodec import HOP
+
+    def decode_rows(rows):
+        """Batch-decode variable-length (t, 8) code rows in ONE codec
+        program (the ``train/train.py decode_eval_audio`` convention): a
+        per-row exact-length decode compiles one XLA program per DISTINCT
+        length — with the AR's model-chosen lengths that is up to 2·N
+        tunnel compiles.  Pad every row to the batch max rounded up to 64
+        frames (edge-replicated codes so the convolutional decoder sees
+        signal-like context, not a zero cliff), decode once, slice each
+        wav back to its row's t·HOP samples; the few receptive-field
+        frames near the tail differ imperceptibly from an exact decode."""
+        lens = [len(r) for r in rows]
+        T = -(-max(lens) // 64) * 64
+        padded = np.stack([
+            np.concatenate([r, np.repeat(r[-1:], T - len(r), axis=0)],
+                           axis=0)
+            for r in rows
+        ])  # (n, T, 8)
+        wavs, sr = qnt.decode(np.moveaxis(padded, 1, 2))
+        return [np.asarray(wavs[i][: lens[i] * HOP]).reshape(-1)
+                for i in range(len(rows))], sr
+
+    items = []  # (path, ref, span, hyp-or-None)
+    rows = []
     for i, (p, ref) in enumerate(zip(picks, refs)):
         span = min(len(ref), gl)
         hspan = int(gen_lens[i]) if is_ar else span
         if hspan == 0:  # AR emitted an immediate stop (trainer convention)
-            per_utt.append({"len_ratio": 0.0, "acc": 0.0})
+            items.append((p, ref, span, None))
             continue
         hyp = np.asarray(resps[i][:hspan])         # (hspan, 8)
-        hyp_wav, sr = qnt.decode(hyp.T)
-        hyp_wav = np.asarray(hyp_wav).reshape(-1)
+        items.append((p, ref, span, hyp))
+        rows.append(hyp)
+        rows.append(np.asarray(ref[:span]))
+    wavs, sr = decode_rows(rows) if rows else ([], 24_000)
+    wav_it = iter(wavs)
+
+    per_utt = []
+    for p, ref, span, hyp in items:
+        if hyp is None:
+            per_utt.append({"len_ratio": 0.0, "acc": 0.0})
+            continue
+        hyp_wav = next(wav_it)
+        rt_wav = next(wav_it)
         ref_wav, _ = read_wav(p.parent / (p.name.split(".")[0] + ".wav"))
         ref_wav = np.asarray(ref_wav).reshape(-1)
         # ``mcd`` scores against the codec ROUND-TRIP of the ground-truth
@@ -189,8 +224,6 @@ def main():
         # utterance's own ``codec_floor_mcd`` (round-trip vs raw): on this
         # synthetic corpus pure-tone spectral valleys make any codec's
         # absolute floor enormous (~350), swamping stack quality.
-        rt_wav, _ = qnt.decode(np.asarray(ref[:span]).T)
-        rt_wav = np.asarray(rt_wav).reshape(-1)
         m = eval_utterance_metrics(
             hyp, ref[:span], hyp_wav=hyp_wav, ref_wav=rt_wav, sr=sr)
         m["mcd_vs_raw"] = mel_cepstral_distortion(hyp_wav, ref_wav, sr)["mcd"]
