@@ -1,0 +1,54 @@
+#!/bin/bash
+# End-of-round-4 checklist, run AFTER scripts/r4_resume2.sh prints ALL DONE
+# (the chip and the single CPU core are then free).  Verifies every round-4
+# artifact exists, the test suite is green, and the driver entry points work
+# against the trained serving zoo.  Prints a PASS/FAIL summary; exits 0 only
+# if everything passed.
+#
+# Usage: bash scripts/r4_finalize.sh [evidence_dir]
+set -uo pipefail
+cd "$(dirname "$0")/.."
+EVID=${1:-benchmarks/gen_r4}
+fail=0
+note() { echo "[finalize] $*"; }
+check() { # check <label> <file>
+  if [ -e "$2" ]; then note "PASS  $1 ($2)"; else note "FAIL  $1 ($2 missing)"; fail=1; fi
+}
+
+note "== 1/4 round-4 evidence files =="
+check "held-out D3PM full-stack eval"  "$EVID/heldout_fullstack_v2.json"
+check "held-out AR full-stack eval"    "$EVID/heldout_fullstack_ar_v2.json"
+check "speculative decoding (trained)" "$EVID/spec_decode_v2.json"
+check "e2e timing (trained bundles)"   "$EVID/full_pipeline_trained_v2.jsonl"
+check "training sweeps"                "$EVID/sweeps/diffusion_flash.jsonl"
+check "speaker transfer (serving)"     "$EVID/transfer_eval_v2_serving.json"
+check "long-form seams (trained)"      "$EVID/longform_seam_v2.json"
+check "trained serving bundle"         "zoo/diffusion/params.npz"
+check "trained NAR bundle"             "zoo/nar/params.npz"
+
+note "== 2/4 test suite (quick markers, CPU virtual mesh) =="
+if timeout 2400 python -m pytest tests/ -x -q -m "not slow" \
+     2>&1 | tail -3; then
+  note "PASS  quick suite"
+else
+  note "FAIL  quick suite"; fail=1
+fi
+
+note "== 3/4 driver entry points =="
+if timeout 900 env XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     JAX_PLATFORMS=cpu python -c \
+     "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"; then
+  note "PASS  dryrun_multichip(8)"
+else
+  note "FAIL  dryrun_multichip(8)"; fail=1
+fi
+
+note "== 4/4 bench.py (real chip, trained weights) =="
+if timeout 1200 python bench.py | tail -1; then
+  note "PASS  bench.py"
+else
+  note "FAIL  bench.py"; fail=1
+fi
+
+if [ "$fail" = 0 ]; then note "ALL CHECKS PASSED"; else note "CHECKS FAILED"; fi
+exit $fail
