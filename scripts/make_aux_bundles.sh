@@ -65,6 +65,14 @@ if [ ! -f $EVID/spec_decode_mini_v2.json ] \
     || echo "spec bench FAILED"
 fi
 
+stage "AR->NAR full-stack held-out eval (mini corpus)"
+if [ ! -f $EVID/heldout_fullstack_ar_mini_v2.json ] \
+   && [ -d $WORK/zoo/ar ] && [ -d $WORK/zoo/nar ]; then
+  python scripts/heldout_eval.py $WORK/zoo/ar --nar-bundle $WORK/zoo/nar \
+    --out $EVID/heldout_fullstack_ar_mini_v2.json --n 8 --resp-bucket 192 \
+    "yaml=config/gen4c/ar.yml" || echo "AR full-stack eval FAILED"
+fi
+
 stage "e2e timing on trained bundles (full_pipeline.py)"
 if [ ! -f $EVID/full_pipeline_trained_v2.jsonl ] \
    && [ -d zoo/diffusion ] && [ -d zoo/nar ] && [ -d $WORK/zoo/ar ]; then

