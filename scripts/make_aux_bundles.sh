@@ -1,18 +1,33 @@
 #!/bin/bash
-# Round-4 aux trained artifacts, session-scale (see scripts/r4_resume2.sh
-# for the full-scale recipe; a VM reboot wiped /tmp and the gen4b d1024
-# trainings are multi-hour runs).  This rebuilds the same ARTIFACT TYPES on
-# a 256-utterance mini corpus from the same generator (32 speakers x 8
-# utts, real 95/5 seed-0 split):
+# Round-5 consistent serving zoo + trained aux artifacts, session-scale.
 #
-#   zoo/nar                           trained production-size NAR bundle
-#   zoo/encodec_24khz.npz             corpus-calibrated codec for serving
-#   benchmarks/gen_r4/spec_decode_mini_v2.json   trained target+draft
-#                                     speculative-decoding measurement
-#   benchmarks/gen_r4/full_pipeline_trained_v2.jsonl  e2e timing, trained
+# Round-4's version of this recipe installed a freshly calibrated codec
+# next to a zoo/diffusion trained on codes from a codec lost to a /tmp
+# wipe (advisor finding: silently de-calibrated serving).  This version
+# rebuilds the ENTIRE serving zoo against ONE corpus and ONE codec
+# calibration, so every installed piece is mutually consistent:
 #
-# Corpus scale is disclosed in the configs (config/gen4c/*.yml) and in
-# PARITY.md.  Idempotent per stage; later stages skip missing inputs.
+#   zoo/encodec_24khz.npz    codec calibrated on the gen4c corpus
+#   zoo/diffusion            production D3PM (d512/8/T100), val-min tick
+#   zoo/nar                  production NAR (d1024/16/12)
+#   zoo/ar                   production AR (d1024/16/12) — makes the
+#                            README quickstart runnable as written
+#
+# plus the trained evidence artifacts (all on the same corpus/codec):
+#
+#   benchmarks/gen_r4/spec_decode_mini_v2.json        trained target+draft
+#                                       speculative-decoding measurement
+#   benchmarks/gen_r4/heldout_fullstack_ar_mini_v2.json  AR→NAR held-out
+#   benchmarks/gen_r4/heldout_fullstack_mini_v3.json     D3PM→NAR held-out
+#   benchmarks/gen_r4/transfer_eval_fullstack_mini_v2.json  32-way speaker
+#                                       attribution on the FULL stack wav
+#   benchmarks/gen_r4/full_pipeline_trained_mini_v2.jsonl   e2e timing
+#
+# Corpus: 256 utterances (32 speakers x 8, scripts/make_gen_corpus.py
+# --utts 8), real 95/5 seed-0 split — session scale, disclosed in the
+# configs (config/gen4c/*.yml), the artifact names (_mini), and PARITY.md.
+# Idempotent per stage; later stages skip missing inputs; the trainer
+# auto-resumes from the latest checkpoint on rerun.
 #
 # Usage: bash scripts/make_aux_bundles.sh
 set -uo pipefail
@@ -20,8 +35,24 @@ cd "$(dirname "$0")/.."
 PKG=tts_with_diffusion_model_tpu
 WORK=/tmp/gen4c
 EVID=benchmarks/gen_r4
+mkdir -p "$EVID"
 
 stage() { echo "=== [$(date -u +%H:%M:%S)] $* ==="; }
+
+# install <src_bundle_dir> <dst_bundle_dir>: copy with f16 params storage
+# (halves the committed size; export.load_bundle upcasts to fp32 on load)
+install_f16() {
+  rm -rf "$2" && mkdir -p "$2"
+  cp "$1"/model.json "$1"/phone_symmap.json "$1"/spkr_symmap.json "$2"/
+  python - "$1/params.npz" "$2/params.npz" <<'EOF'
+import sys
+import numpy as np
+src = np.load(sys.argv[1])
+out = {k: (v.astype(np.float16) if v.dtype == np.float32 else v)
+       for k, v in src.items()}
+np.savez(sys.argv[2], **out)
+EOF
+}
 
 stage "corpus + g2p (CPU)"
 [ -f $WORK/data/train/spk31/utt007.wav ] \
@@ -38,23 +69,51 @@ stage "qnt encode"
 [ -f $WORK/data/train/spk31/utt007.qnt.npy ] \
   || python -m $PKG.emb.qnt $WORK/data/train
 
-# Draft first (cheapest), then the NAR (unblocks zoo + timing), then the
-# AR target (largest) — if the session ends mid-chain the most artifacts
-# survive.  Trainer auto-resumes from the latest checkpoint on rerun.
-for m in ar_quarter nar ar; do
+# Training order = serving value order, so if the session ends mid-chain
+# the most important bundles survive: the D3PM (bench + serving headline),
+# the NAR (two-stage chain), the AR (quickstart + spec target), then the
+# draft.  Trainer auto-resumes from the latest checkpoint on rerun.
+for m in diffusion nar ar ar_quarter; do
   stage "train $m"
   if [ ! -d "$WORK/zoo/$m" ]; then
-    if python -m $PKG.train "yaml=config/gen4c/$m.yml" < /dev/null; then
+    if ! python -m $PKG.train "yaml=config/gen4c/$m.yml" < /dev/null; then
+      echo "train $m FAILED (rerun to resume)"
+      continue
+    fi
+    if [ "$m" = diffusion ]; then
+      # pick the val-loss-minimum tick (every tick checkpointed,
+      # ckpt_keep 10) and export THAT model — same regime as the gen4b
+      # headline run (scripts/gen_evidence_v2.sh)
+      run_dir=$(ls -td $WORK/logs/gen4c/diffusion/* | head -1)
+      BEST=$(python - "$run_dir/log.txt" <<'EOF'
+import re, sys
+best = None
+for line in open(sys.argv[1]):
+    m = re.search(r"'loss': ([0-9.eE+-]+), 'global_step': (\d+), 'name': 'val'", line)
+    if m and (best is None or float(m.group(1)) < best[0]):
+        best = (float(m.group(1)), int(m.group(2)))
+assert best, "no val Eval lines in the log"
+print(f"{best[1]} {best[0]}")
+EOF
+      )
+      read -r BEST_STEP BEST_LOSS <<< "$BEST"
+      echo "{\"best_step\": $BEST_STEP, \"best_val_loss\": $BEST_LOSS}" \
+          > "$EVID/best_tick_mini_v3.json"
+      python -m $PKG.export "$WORK/zoo/$m" "yaml=config/gen4c/$m.yml" \
+          "restore_step=$BEST_STEP" --ema || echo "export $m FAILED"
+    else
       python -m $PKG.export "$WORK/zoo/$m" "yaml=config/gen4c/$m.yml" --ema \
         || echo "export $m FAILED"
-    else
-      echo "train $m FAILED (rerun to resume)"
     fi
   fi
 done
 
-stage "install zoo/nar + codec"
-if [ ! -d zoo/nar ] && [ -d $WORK/zoo/nar ]; then cp -r $WORK/zoo/nar zoo/nar; fi
+stage "install consistent serving zoo (f16 storage)"
+for m in diffusion nar ar; do
+  if [ -d "$WORK/zoo/$m" ] && [ ! -f "zoo/$m/.gen4c" ]; then
+    install_f16 "$WORK/zoo/$m" "zoo/$m" && touch "zoo/$m/.gen4c"
+  fi
+done
 [ -f zoo/encodec_24khz.npz ] || cp $WORK/encodec.npz zoo/encodec_24khz.npz
 
 stage "speculative decoding measurement (VERDICT r3 item 7)"
@@ -73,14 +132,36 @@ if [ ! -f $EVID/heldout_fullstack_ar_mini_v2.json ] \
     "yaml=config/gen4c/ar.yml" || echo "AR full-stack eval FAILED"
 fi
 
+stage "D3PM->NAR full-stack held-out eval (the installed zoo, mini corpus)"
+# both decode modes, so the serving-default decision (VERDICT r4 item 6)
+# is re-measured on the CURRENT zoo rather than inherited from gen4b
+for dec in ancestral maskgit; do
+  out=$EVID/heldout_fullstack_mini_v3$( [ $dec = maskgit ] && echo _maskgit ).json
+  if [ ! -f "$out" ] && [ -d $WORK/zoo/diffusion ] && [ -d $WORK/zoo/nar ]; then
+    python scripts/heldout_eval.py $WORK/zoo/diffusion \
+      --nar-bundle $WORK/zoo/nar --decode $dec \
+      --out "$out" --n 8 --resp-bucket 192 \
+      "yaml=config/gen4c/diffusion.yml" || echo "D3PM full-stack eval ($dec) FAILED"
+  fi
+done
+
+stage "full-stack 32-way speaker attribution (VERDICT r4 item 5)"
+if [ ! -f $EVID/transfer_eval_fullstack_mini_v2.json ] \
+   && [ -d $WORK/zoo/diffusion ] && [ -d $WORK/zoo/nar ]; then
+  python scripts/speaker_transfer_eval.py $WORK/zoo/diffusion \
+    --nar-bundle $WORK/zoo/nar \
+    --out $EVID/transfer_eval_fullstack_mini_v2.json --trials 32 \
+    "yaml=config/gen4c/diffusion.yml" || echo "full-stack transfer FAILED"
+fi
+
 stage "e2e timing on trained bundles (full_pipeline.py)"
-if [ ! -f $EVID/full_pipeline_trained_v2.jsonl ] \
+if [ ! -f $EVID/full_pipeline_trained_mini_v2.jsonl ] \
    && [ -d zoo/diffusion ] && [ -d zoo/nar ] && [ -d $WORK/zoo/ar ]; then
   if python benchmarks/full_pipeline.py --bf16 --runs 7 \
       --bundle zoo/diffusion --nar-bundle zoo/nar --ar-bundle $WORK/zoo/ar \
-      | tee "$EVID/.full_pipeline_trained_v2.tmp"; then
-    mv "$EVID/.full_pipeline_trained_v2.tmp" \
-       "$EVID/full_pipeline_trained_v2.jsonl"
+      | tee "$EVID/.full_pipeline_trained_mini_v2.tmp"; then
+    mv "$EVID/.full_pipeline_trained_mini_v2.tmp" \
+       "$EVID/full_pipeline_trained_mini_v2.jsonl"
   else
     echo "full_pipeline FAILED (partial output kept at .tmp)"
   fi

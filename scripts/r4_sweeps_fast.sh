@@ -17,8 +17,15 @@ mkdir -p "$OUT"
 run() { # name, args...
   local name=$1; shift
   echo "=== [$(date -u +%H:%M:%S)] $name ==="
-  python benchmarks/train_sweep.py --runs "$RUNS" "$@" | tee "$OUT/$name.jsonl" \
-    || echo "sweep $name FAILED"
+  # write to a temp path and publish only on success, so a failed sweep
+  # doesn't leave a partial/empty $name.jsonl that satisfies existence
+  # checks (round-4 advisor finding)
+  if python benchmarks/train_sweep.py --runs "$RUNS" "$@" \
+       | tee "$OUT/.$name.tmp" && [ -s "$OUT/.$name.tmp" ]; then
+    mv "$OUT/.$name.tmp" "$OUT/$name.jsonl"
+  else
+    echo "sweep $name FAILED (partial output kept at $OUT/.$name.tmp)"
+  fi
 }
 
 # D3PM (production d512/8/8, buckets 448/398/50): r3 headline 209.9 utts/s

@@ -24,10 +24,21 @@ context.
 
 Usage:
   python scripts/speaker_transfer_eval.py BUNDLE_DIR --out OUT.json \
-      yaml=CFG.yml [--trials 32] [--frames 160] [--resp-bucket 256]
+      yaml=CFG.yml [--trials 32] [--frames 160] [--resp-bucket 256] \
+      [--nar-bundle NAR_DIR]
 
 The yaml must be the training config (its data_dirs/split recreate the
 exact train/val partition the model saw).
+
+With ``--nar-bundle`` the attribution is measured on the FULL SERVED
+STACK (round-4 VERDICT item 5): first-stage level-0 codes → trained NAR
+fills levels 1-7 → codec decode to a waveform → the waveform is
+RE-ENCODED through the codec and its level-0 codes are attributed against
+the same training voiceprints.  The scoring space is unchanged, but the
+signal now travels the complete chain users hear (first stage → NAR →
+wav); a NAR or codec stage that lost the prompted voice would collapse
+the attribution.  Without the flag, behavior is the round-4 first-stage
+measurement (codes scored directly).
 """
 
 from __future__ import annotations
@@ -68,6 +79,10 @@ def main():
                     help="classify over the first N generated frames")
     ap.add_argument("--resp-bucket", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--nar-bundle", type=Path, default=None,
+                    help="score the full first-stage→NAR→wav→re-encode "
+                         "chain instead of first-stage codes")
+    ap.add_argument("--nar-temperature", type=float, default=0.2)
     args = ap.parse_args()
 
     import jax
@@ -123,6 +138,29 @@ def main():
             resp_bucket=args.resp_bucket)
     )
 
+    fullstack = args.nar_bundle is not None
+    if fullstack:
+        from tts_with_diffusion_model_tpu.emb import qnt
+        from tts_with_diffusion_model_tpu.models.nar import nar_generate
+
+        nar_params, nar_meta, _, _ = load_bundle(args.nar_bundle)
+        nar = build_model(nar_meta)
+
+        def to_wav_codes(level0, text, tm, proms, pm, key):
+            """level-0 (1, bucket) → NAR levels 1-7 → wav → re-encoded
+            level-0 codes (the complete served chain).  All shapes fixed
+            (full gl window) so each stage compiles exactly once."""
+            rm = jnp.ones((1, args.resp_bucket), jnp.float32)
+            resps = nar_generate(
+                nar, nar_params, text, tm, proms, pm,
+                level0[:, : args.resp_bucket], rm, key,
+                sampling_temperature=args.nar_temperature)
+            codes8 = np.asarray(resps[0][:gl])            # (gl, 8)
+            wavs, sr = qnt.decode(np.moveaxis(codes8[None], 1, 2))
+            wav = np.asarray(wavs[0]).reshape(-1)
+            re = qnt.encode(wav, sr)                      # (8, t)
+            return np.asarray(re[0])                      # level-0 codes
+
     results = []
     for trial in range(args.trials):
         trng = np.random.default_rng(args.seed * 100_003 + trial)
@@ -139,12 +177,16 @@ def main():
         row = {"val_path": str(vp), "prompted": [spk_a, spk_b]}
         for tag, spk in (("a", spk_a), ("b", spk_b)):
             proms, pm = make_prompt(spk, trng)
-            out = gen_jit(
-                params, jnp.asarray(text), jnp.asarray(tm),
-                jnp.asarray(proms)[None], jnp.asarray(pm)[None],
-                jax.random.PRNGKey(args.seed * 7 + trial),
-            )
-            codes = np.asarray(out[0])[: args.frames]
+            jt, jtm = jnp.asarray(text), jnp.asarray(tm)
+            jp, jpm = jnp.asarray(proms)[None], jnp.asarray(pm)[None]
+            key = jax.random.PRNGKey(args.seed * 7 + trial)
+            out = gen_jit(params, jt, jtm, jp, jpm, key)
+            if fullstack:
+                codes = to_wav_codes(
+                    out, jt, jtm, jp, jpm,
+                    jax.random.fold_in(key, 1))[: args.frames]
+            else:
+                codes = np.asarray(out[0])[: args.frames]
             h = code_hist(codes)
             d_a = float(np.abs(h - voiceprint[spk_a]).sum())
             d_b = float(np.abs(h - voiceprint[spk_b]).sum())
@@ -175,6 +217,9 @@ def main():
         "chance_full": 1.0 / len(speakers),
         "bundle": str(args.bundle),
         "frames_scored": args.frames,
+        "stack": ("fullstack:first+nar+wav+reencode" if fullstack
+                  else "first_stage_codes"),
+        "nar_bundle": str(args.nar_bundle) if fullstack else None,
     }
     args.out.parent.mkdir(parents=True, exist_ok=True)
     args.out.write_text(json.dumps(

@@ -163,6 +163,8 @@ def load_codec(weights_path: str | Path | None = None) -> Codec:
         weights_path,
         os.environ.get("ENCODEC_WEIGHTS"),
         "zoo/encodec_24khz.npz",
+        # repo-root fallback so serving finds the installed codec from any cwd
+        Path(__file__).resolve().parents[2] / "zoo/encodec_24khz.npz",
     ]
     params = None
     for cand in candidates:

@@ -61,8 +61,15 @@ def load_bundle(path: Path) -> tuple[dict, dict, dict, dict]:
     path = Path(path)
     params = load_npz_params(path / "params.npz")
     # device arrays, not numpy: jitted samplers fancy-index embedding tables
-    # with traced token ids.
-    params = jax.tree.map(jnp.asarray, params)
+    # with traced token ids.  f16 bundles (--dtype f16, a storage-size
+    # optimization) are upcast back to fp32 here so every consumer sees the
+    # usual dtype; serving still casts to bf16 (utils/precision.py).
+    params = jax.tree.map(
+        lambda a: jnp.asarray(
+            a, jnp.float32 if np.asarray(a).dtype == np.float16 else None
+        ),
+        params,
+    )
     meta = json.loads((path / "model.json").read_text())
     return (
         params,
@@ -84,6 +91,12 @@ def main():
         help="export the EMA-averaged weights (requires training with "
              "ema_decay set; typically better sample quality)",
     )
+    parser.add_argument(
+        "--dtype", choices=("f32", "f16"), default="f32",
+        help="storage dtype for params.npz: f16 halves the bundle size; "
+             "serving casts to bf16 either way (utils/precision.py), so "
+             "f16 storage only rounds the fp32 master weights once more",
+    )
     args = parser.parse_args()
     from .train.train import load_engines
 
@@ -98,6 +111,16 @@ def main():
                 "(the checkpoint carries no averaged weights)"
             )
         params = engine.ema_params
+
+    if args.dtype == "f16":
+        import jax.numpy as jnp
+
+        params = jax.tree.map(
+            lambda a: (jnp.asarray(a, jnp.float16)
+                       if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                       else a),
+            params,
+        )
 
     train_dataset, _ = create_datasets(cfg)
     meta = {
