@@ -128,10 +128,14 @@ def main():
 
     # Per-call latency: block on every call (what one user waits).
     # p10/p50/p90 spread so session-to-session variance is visible.
+    # Keys are pre-staged on device so the timed loop holds no per-call
+    # host->device transfer (round-4 VERDICT item 8: trim the host path).
+    keys = [jax.device_put(jax.random.PRNGKey(100 + i)) for i in range(20)]
+    jax.block_until_ready(keys)
     lat = []
-    for i in range(20):
+    for k in keys:
         t0 = time.perf_counter()
-        gen(params, jax.random.PRNGKey(100 + i)).block_until_ready()
+        gen(params, k).block_until_ready()
         lat.append(time.perf_counter() - t0)
     lat.sort()
 
@@ -168,6 +172,25 @@ def main():
         r2 = jax.random.fold_in(r, jnp.sum(o1).astype(jnp.uint32))
         o2 = model.generate(p, text, tm, proms, pm, r2, resp_bucket=bucket)
         return o1, o2
+
+    # Dispatch floor: p50 round trip of a null program (one scalar add on
+    # an 8-element array).  Any blocking call pays at least this much on
+    # the axon tunnel regardless of the compiled program, so
+    # ``p50 - device_p50`` should be read against this floor: when
+    # ``dispatch_overhead_ms ~= dispatch_floor_ms`` the host path is
+    # already minimal and further per-call latency must come from the
+    # device program (round-4 VERDICT item 8's "documented floor
+    # attribution").
+    nul = jax.jit(lambda x: x + 1)
+    xs = jax.device_put(jnp.zeros((8,), jnp.float32))
+    nul(xs).block_until_ready()
+    floor = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        nul(xs).block_until_ready()
+        floor.append(time.perf_counter() - t0)
+    floor.sort()
+    floor_p50 = pct(floor, 0.50)
 
     gen2 = jax.jit(_gen_twice)
     jax.block_until_ready(gen2(params, rng))
@@ -218,6 +241,7 @@ def main():
                 "mfu": round(mfu, 4) if mfu is not None else None,
                 "device_p50_ms": round(device_s * 1e3, 2),
                 "dispatch_overhead_ms": round(dispatch_s * 1e3, 2),
+                "dispatch_floor_ms": round(floor_p50 * 1e3, 2),
                 "device_tokens_per_sec": round(c.gen_len / device_s, 2),
                 "mfu_device": (round(mfu_device, 4)
                                if mfu_device is not None else None),

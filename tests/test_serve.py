@@ -628,7 +628,8 @@ def test_maskgit_decode_serving_path(zoo, tmp_path_factory):
     solo = mg.synthesize_codes_batch([rows[1]], [seeds[1]])[0]
     np.testing.assert_array_equal(together[1], solo)
 
-    anc = Synthesizer(root / "diffusion", zoo / "nar", bf16=False)
+    anc = Synthesizer(root / "diffusion", zoo / "nar", bf16=False,
+                      decode="ancestral")
     anc_codes = anc.synthesize_codes_batch([rows[0]], [seeds[0]])[0]
     assert not np.array_equal(anc_codes[:, 0], together[0][:, 0])
 

@@ -76,7 +76,14 @@ class Synthesizer:
         max_batch: int = 1,
         stride: int = 1,
         mesh_tp: int = 1,
-        decode: str = "ancestral",
+        # maskgit is the measured serving default: better held-out
+        # full-stack accuracy AND lower p50 than the ancestral chain
+        # (round-4 evidence, heldout_fullstack_v2_maskgit.json +
+        # BENCH_r04.json; K=12 from the r3 K-sweep).  decode="ancestral"
+        # selects the reference-parity sampler; None resolves to
+        # ancestral when stride > 1 (stride is an ancestral-chain knob),
+        # else maskgit.
+        decode: str | None = None,
         maskgit_steps: int = 12,
         draft_ckpt: str | Path | None = None,
         spec_k: int = 4,
@@ -93,6 +100,10 @@ class Synthesizer:
         if bf16:
             self.first_params = cast_params_bf16(self.first_params)
             self.nar_params = cast_params_bf16(self.nar_params)
+
+        if decode is None:
+            decode = "ancestral" if stride > 1 else "maskgit"
+        self.decode = decode
 
         # Speculative decoding for AR first stages: a small draft bundle
         # proposes spec_k tokens/round, the target verifies them in one
@@ -187,7 +198,10 @@ class Synthesizer:
                 if decode == "maskgit":
                     first_fn = self.first.generate_maskgit
                     gen_kw = dict(
-                        steps=max(1, int(maskgit_steps)),
+                        # K cannot exceed the generation window (each step
+                        # must commit ≥1 token); clamp so small-gen_len
+                        # bundles serve with the same default config
+                        steps=max(1, min(int(maskgit_steps), c.gen_len)),
                         resp_bucket=bucket_v,
                     )
                 else:
@@ -943,11 +957,13 @@ def main():
                         help="tensor-parallel degree: shard heads/MLP/vocab "
                              "over this many chips (1 = single device)")
     parser.add_argument("--decode", choices=("ancestral", "maskgit"),
-                        default="ancestral",
-                        help="D3PM sampler: 99-step ancestral chain "
-                             "(reference-parity) or confidence-ordered "
-                             "parallel decoding in --maskgit-steps denoiser "
-                             "evaluations (D3PM bundles only)")
+                        default=None,
+                        help="D3PM sampler (D3PM bundles only).  Default "
+                             "maskgit: wins held-out accuracy AND latency "
+                             "(round-4 evidence); ancestral = the "
+                             "reference-parity 99-step chain.  An explicit "
+                             "--stride > 1 defaults the sampler to "
+                             "ancestral (stride is an ancestral knob)")
     parser.add_argument("--maskgit-steps", type=int, default=12,
                         help="denoiser evaluations for --decode maskgit")
     parser.add_argument("--draft-ckpt", type=Path, default=None,
@@ -961,6 +977,8 @@ def main():
                              "in flight are shed with 503 + Retry-After "
                              "(0 = unlimited)")
     args = parser.parse_args()
+    if args.decode is None:
+        args.decode = "ancestral" if args.stride > 1 else "maskgit"
 
     logging.basicConfig(level=logging.INFO)
     synth = Synthesizer(
