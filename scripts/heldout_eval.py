@@ -253,3 +253,9 @@ def main():
 
 if __name__ == "__main__":
     main()
+    # dodge the axon-tunnel teardown wedge (utils/helpers.py)
+    from tts_with_diffusion_model_tpu.utils.helpers import (  # noqa: E402
+        hard_exit_if_tunnel,
+    )
+
+    hard_exit_if_tunnel()

@@ -63,3 +63,35 @@ def to_numpy(x):
         return leaf
 
     return tree_map(pull, x)
+
+
+def hard_exit_if_tunnel(code: int = 0):
+    """Work around an axon TPU-tunnel teardown wedge (observed round 5):
+    interpreter shutdown can block forever joining the tunnel's runtime
+    threads after all work has completed, and a process killed in that
+    state can wedge the NEXT process's device attach for minutes.  CLI
+    entry points call this as their final statement — after every output
+    file is written and stdout is flushed — so multi-stage shell recipes
+    (scripts/make_aux_bundles.sh) chain without stalls.  No-op when the
+    tunnel is not in use, so normal interpreter shutdown (and with it
+    atexit/profiling hooks) is preserved everywhere else."""
+    import os
+    import sys
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    # only act when this process actually attached the tunnel backend —
+    # and never trigger a fresh backend init just to decide
+    if "jax" not in sys.modules:
+        return
+    try:
+        from jax._src import xla_bridge
+
+        backends = getattr(xla_bridge, "_backends", {})
+        if not any(p == "axon" for p in backends):
+            return
+    except Exception:
+        return
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(code)
