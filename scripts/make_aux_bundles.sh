@@ -23,9 +23,10 @@
 #                                       attribution on the FULL stack wav
 #   benchmarks/gen_r4/full_pipeline_trained_mini_v2.jsonl   e2e timing
 #
-# Corpus: 256 utterances (32 speakers x 8, scripts/make_gen_corpus.py
-# --utts 8), real 95/5 seed-0 split — session scale, disclosed in the
-# configs (config/gen4c/*.yml), the artifact names (_mini), and PARITY.md.
+# Corpus: 768 utterances (32 speakers x 24, scripts/make_gen_corpus.py
+# --utts 24), real 95/5 seed-0 split (736 train / 32 val — one held-out
+# utterance per speaker) — session scale, disclosed in the configs
+# (config/gen4c/*.yml), the artifact names (_mini), and PARITY.md.
 # Idempotent per stage; later stages skip missing inputs; the trainer
 # auto-resumes from the latest checkpoint on rerun.
 #
@@ -36,6 +37,12 @@ PKG=tts_with_diffusion_model_tpu
 WORK=/tmp/gen4c
 EVID=benchmarks/gen_r4
 mkdir -p "$EVID"
+
+# single-instance lock: two concurrent chains race on the checkpoint dirs
+# and can interleave trainings (observed round 5 — a kill-surviving chain
+# plus a relaunch trained the same config twice simultaneously)
+exec 200>/tmp/make_aux_bundles.lock
+flock -n 200 || { echo "another make_aux_bundles.sh is running"; exit 1; }
 
 stage() { echo "=== [$(date -u +%H:%M:%S)] $* ==="; }
 
@@ -54,20 +61,28 @@ np.savez(sys.argv[2], **out)
 EOF
 }
 
+# 24 utts/speaker: the reference split (round(n*0.95) per speaker,
+# data.py:231-237) gives each speaker exactly 1 held-out utterance —
+# 736 train / 32 val.  8 utts/speaker gave an EMPTY val split (round(7.6)
+# = 8), which silently disabled every held-out eval in this chain.
 stage "corpus + g2p (CPU)"
-[ -f $WORK/data/train/spk31/utt007.wav ] \
-  || python scripts/make_gen_corpus.py $WORK/data/train --utts 8
-[ -f $WORK/data/train/spk31/utt007.phn.txt ] \
-  || JAX_PLATFORMS=cpu python -m $PKG.emb.g2p $WORK/data/train
+[ -f $WORK/data/train/spk31/utt023.wav ] \
+  || python scripts/make_gen_corpus.py $WORK/data/train --utts 24 || exit 1
+[ -f $WORK/data/train/spk31/utt023.phn.txt ] \
+  || JAX_PLATFORMS=cpu python -m $PKG.emb.g2p $WORK/data/train || exit 1
 
+# preprocessing failures must ABORT (|| exit 1): a round-5 race continued
+# past a killed calibration and qnt-encoded the corpus with the random
+# codec, silently poisoning everything trained on those tokens
 stage "codec calibration"
 [ -f $WORK/encodec.npz ] \
-  || python -m $PKG.codec.calibrate $WORK/data/train --out $WORK/encodec.npz
+  || python -m $PKG.codec.calibrate $WORK/data/train --out $WORK/encodec.npz \
+  || exit 1
 export ENCODEC_WEIGHTS=$WORK/encodec.npz
 
 stage "qnt encode"
-[ -f $WORK/data/train/spk31/utt007.qnt.npy ] \
-  || python -m $PKG.emb.qnt $WORK/data/train
+[ -f $WORK/data/train/spk31/utt023.qnt.npy ] \
+  || python -m $PKG.emb.qnt $WORK/data/train || exit 1
 
 # Training order = serving value order, so if the session ends mid-chain
 # the most important bundles survive: the D3PM (bench + serving headline),
@@ -97,6 +112,10 @@ print(f"{best[1]} {best[0]}")
 EOF
       )
       read -r BEST_STEP BEST_LOSS <<< "$BEST"
+      if [ -z "$BEST_STEP" ]; then
+        echo "val-min selection FAILED (empty val split?); not exporting"
+        continue
+      fi
       echo "{\"best_step\": $BEST_STEP, \"best_val_loss\": $BEST_LOSS}" \
           > "$EVID/best_tick_mini_v3.json"
       python -m $PKG.export "$WORK/zoo/$m" "yaml=config/gen4c/$m.yml" \
