@@ -44,7 +44,10 @@ mkdir -p "$EVID"
 exec 200>/tmp/make_aux_bundles.lock
 flock -n 200 || { echo "another make_aux_bundles.sh is running"; exit 1; }
 
-stage() { echo "=== [$(date -u +%H:%M:%S)] $* ==="; }
+# pace the tunnel between stages: a process attaching <~30 s after the
+# previous one exited can hang forever waiting for the device session
+# (observed round 5); TUNNEL_PACE=0 disables for off-tunnel runs
+stage() { sleep "${TUNNEL_PACE:-30}"; echo "=== [$(date -u +%H:%M:%S)] $* ==="; }
 
 # install <src_bundle_dir> <dst_bundle_dir>: copy with f16 params storage
 # (halves the committed size; export.load_bundle upcasts to fp32 on load)
@@ -89,7 +92,7 @@ stage "qnt encode"
 # the NAR (two-stage chain), the AR (quickstart + spec target), then the
 # draft.  Trainer auto-resumes from the latest checkpoint on rerun.
 for m in diffusion nar ar ar_quarter; do
-  stage "train $m"
+  stage "train $m"   # stage() itself paces the tunnel
   if [ ! -d "$WORK/zoo/$m" ]; then
     if ! python -m $PKG.train "yaml=config/gen4c/$m.yml" < /dev/null; then
       echo "train $m FAILED (rerun to resume)"
@@ -118,9 +121,11 @@ EOF
       fi
       echo "{\"best_step\": $BEST_STEP, \"best_val_loss\": $BEST_LOSS}" \
           > "$EVID/best_tick_mini_v3.json"
+      sleep "${TUNNEL_PACE:-30}"
       python -m $PKG.export "$WORK/zoo/$m" "yaml=config/gen4c/$m.yml" \
           "restore_step=$BEST_STEP" --ema || echo "export $m FAILED"
     else
+      sleep "${TUNNEL_PACE:-30}"
       python -m $PKG.export "$WORK/zoo/$m" "yaml=config/gen4c/$m.yml" --ema \
         || echo "export $m FAILED"
     fi
@@ -157,6 +162,7 @@ stage "D3PM->NAR full-stack held-out eval (the installed zoo, mini corpus)"
 for dec in ancestral maskgit; do
   out=$EVID/heldout_fullstack_mini_v3$( [ $dec = maskgit ] && echo _maskgit ).json
   if [ ! -f "$out" ] && [ -d $WORK/zoo/diffusion ] && [ -d $WORK/zoo/nar ]; then
+    sleep "${TUNNEL_PACE:-30}"
     python scripts/heldout_eval.py $WORK/zoo/diffusion \
       --nar-bundle $WORK/zoo/nar --decode $dec \
       --out "$out" --n 8 --resp-bucket 192 \

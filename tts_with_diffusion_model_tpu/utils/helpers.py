@@ -94,4 +94,23 @@ def hard_exit_if_tunnel(code: int = 0):
         return
     sys.stdout.flush()
     sys.stderr.flush()
+    # Best-effort graceful detach first: an abrupt exit can leave the
+    # tunnel server holding the device session, wedging the NEXT process's
+    # attach (observed: a train launched 11 s after a hard-exited qnt hung
+    # forever; the same transition with a ~60 s gap worked).  Run the
+    # detach in a daemon thread with a deadline so a wedged detach cannot
+    # re-introduce the shutdown hang this function exists to dodge.
+    import threading
+
+    def _detach():
+        try:
+            import jax
+
+            jax.clear_backends()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_detach, daemon=True)
+    t.start()
+    t.join(timeout=15)
     os._exit(code)
