@@ -99,9 +99,11 @@ for m in diffusion nar ar ar_quarter; do
       continue
     fi
     if [ "$m" = diffusion ]; then
-      # pick the val-loss-minimum tick (every tick checkpointed,
-      # ckpt_keep 10) and export THAT model — same regime as the gen4b
-      # headline run (scripts/gen_evidence_v2.sh)
+      # record the val-CE-minimum tick for reference, but export the
+      # FINAL tick for serving: generation accuracy keeps improving past
+      # the CE minimum (the round-4 full-stack finding, reproduced in
+      # round 5 — the val-min tick generated at pure chance while the
+      # final tick reached 14x chance held-out / 136x on train data)
       run_dir=$(ls -td $WORK/logs/gen4c/diffusion/* | head -1)
       BEST=$(python - "$run_dir/log.txt" <<'EOF'
 import re, sys
@@ -122,8 +124,8 @@ EOF
       echo "{\"best_step\": $BEST_STEP, \"best_val_loss\": $BEST_LOSS}" \
           > "$EVID/best_tick_mini_v3.json"
       sleep "${TUNNEL_PACE:-30}"
-      python -m $PKG.export "$WORK/zoo/$m" "yaml=config/gen4c/$m.yml" \
-          "restore_step=$BEST_STEP" --ema || echo "export $m FAILED"
+      python -m $PKG.export "$WORK/zoo/$m" "yaml=config/gen4c/$m.yml" --ema \
+          || echo "export $m FAILED"
     else
       sleep "${TUNNEL_PACE:-30}"
       python -m $PKG.export "$WORK/zoo/$m" "yaml=config/gen4c/$m.yml" --ema \
